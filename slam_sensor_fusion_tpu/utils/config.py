@@ -1,0 +1,167 @@
+"""Frozen configuration tree for the whole engine.
+
+Every algorithm constant that the reference hard-codes in constructors or
+headers is catalogued here as an explicit field, with the reference source
+cited so parity can be audited:
+
+- ICP fine params: localization/src/localization_node.cpp:24-28
+- ICP rescue params: localization/src/localization_node.cpp:226-229
+- stochastic filter: localization/src/localization_node.cpp:32-35 and
+  localization/src/stochastic_filter.cpp:11-12
+- brute force: localization/src/localization_node.cpp:39-43 and
+  localization/include/localization/brute_force_alignment.h (defaults)
+- crop radius / ref re-crop distance: localization/include/localization/
+  localization_node.h (cloud_crop_radius_, ref_frame_distance_)
+- subsample steps: localization_node.cpp:20 (map, 3), :292 (scan, 2),
+  :211 (brute-force map, 15)
+- map voxel size: localization_node.cpp:19 (0.1 m)
+- max poses for map_T_global: localization_node.cpp:9 (50)
+- mapping tile save rate: mapping/include/mapping/map_data_save_node.h (10)
+
+All shapes/capacities are static so one compiled program serves the whole
+trajectory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Point-to-point ICP parameters.
+
+    Mirrors ICPPointToPoint's ctor args (icp_point_to_point.cpp:3-12).
+    NOTE: the reference compares the kd-tree's *squared* NN distance against
+    ``max_correspondence_dist`` (icp_point_to_point.cpp:70 — PCL returns
+    squared distances), so 0.5 here means an effective radius of ~0.707 m.
+    We keep the same convention: the threshold is applied to squared
+    distances.
+    """
+
+    max_correspondence_dist_sq: float = 0.5
+    num_iterations: int = 10
+    acceptable_mean_error: float = 0.05
+    transformation_epsilon: float = 1e-5
+    #: below this many matched correspondences ICP aborts and returns the
+    #: prior (icp_point_to_point.cpp:196-200)
+    min_correspondences: int = 10
+
+
+#: rescue ICP used when brute-force first fix fails
+#: (localization_node.cpp:226-229)
+RESCUE_ICP = ICPConfig(
+    max_correspondence_dist_sq=5.0,
+    num_iterations=80,
+    acceptable_mean_error=0.4,
+    transformation_epsilon=1e-2,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BruteForceConfig:
+    """4-DoF (x, y, z, yaw) grid-search parameters.
+
+    Node overrides from localization_node.cpp:39-43; the test sequences are
+    generated outward from zero exactly like
+    brute_force_alignment.cpp:148-180 (including the duplicated 0 entry).
+    The per-candidate score is the mean *squared* NN distance
+    (brute_force_alignment.cpp:95-105, PCL squared distances), and the
+    sequential early-exit keeps the first candidate in nesting order whose
+    score beats ``mean_error_threshold``.
+    """
+
+    x_step: float = 0.1
+    y_step: float = 0.1
+    z_step: float = 0.05
+    x_range: float = 1.5
+    y_range: float = 1.5
+    z_range: float = 0.1
+    yaw_step: float = 3.141592653589793 / 18.0
+    yaw_range: float = 3.141592653589793 / 6.0
+    mean_error_threshold: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class StochasticFilterConfig:
+    """Outlier gate on fused pose priors (stochastic_filter.cpp)."""
+
+    queue_size: int = 4
+    z_score_threshold: float = 3.0
+    #: 5 cm/scan: accelerations from stop (stochastic_filter.cpp:11)
+    min_distance_per_scan: float = 0.05
+    #: 20 cm/scan: 2 m/s cruise at 10 Hz (stochastic_filter.cpp:12)
+    max_distance_per_scan: float = 0.20
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudCapacity:
+    """Static array capacities for the fixed-shape device pipeline.
+
+    The reference works on dynamically sized PCL clouds; on TPU every
+    buffer is padded to a static capacity with a validity mask.
+    """
+
+    #: raw scan points fed per frame (after host load)
+    scan: int = 32768
+    #: cropped scan points entering ICP
+    cropped_scan: int = 16384
+    #: cropped local map points (ICP target)
+    cropped_map: int = 65536
+    #: full map cloud resident in HBM
+    map: int = 1 << 21
+    #: source points used by brute-force scoring
+    bf_source: int = 1024
+    #: target points used by brute-force scoring
+    bf_target: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalizationConfig:
+    """Full localization pipeline configuration (mirrors the parameter
+    surface of localization_node.cpp:6-9 plus its hard-coded constants)."""
+
+    icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
+    rescue_icp: ICPConfig = dataclasses.field(default_factory=lambda: RESCUE_ICP)
+    brute_force: BruteForceConfig = dataclasses.field(default_factory=BruteForceConfig)
+    filter: StochasticFilterConfig = dataclasses.field(
+        default_factory=StochasticFilterConfig
+    )
+    capacity: CloudCapacity = dataclasses.field(default_factory=CloudCapacity)
+
+    #: radius crop around the sensor, scan and map (localization_node.h)
+    cloud_crop_radius: float = 10.0
+    #: re-crop the map once we moved this far from the reference frame
+    #: (localization_node.cpp:299-305)
+    ref_frame_distance: float = 3.0
+    #: scan uniform subsample step (localization_node.cpp:292)
+    scan_subsample_step: int = 2
+    #: map uniform subsample step applied after load (localization_node.cpp:20)
+    map_subsample_step: int = 3
+    #: extra map subsample for brute force (localization_node.cpp:211)
+    brute_force_map_subsample_step: int = 15
+    #: merged-map voxel size (localization_node.cpp:19)
+    map_voxel_size: float = 0.1
+    #: max poses used to solve map_T_global (localization_node.cpp:9)
+    max_map_optimization_poses: int = 50
+    #: GPS/odom gain mode: covariance traces (False) or fixed 0.95/0.05
+    #: (localization_node.cpp:151-161; node calls with fixed=false at :328)
+    fixed_gains: bool = False
+    enable_debug: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Mapping (map-data recording) configuration.
+
+    Mirrors map_data_save_node parameters and constants:
+    tile save rate 10 (map_data_save_node.h), txt log formats
+    (map_data_save_node.cpp:84-98).
+    """
+
+    cloud_save_rate: int = 10
+    map_voxel_size: float = 0.1
+    #: odometry standstill threshold used when filtering calibration poses
+    #: (global_map_frames_manager.cpp:168: odom xy-norm < 0.1)
+    standstill_xy_norm: float = 0.1
+    max_map_optimization_poses: int = 50
