@@ -101,17 +101,17 @@ def remove_floor(cloud: Cloud) -> Cloud:
 def compact(cloud: Cloud, out_capacity: int | None = None) -> Cloud:
     """Pack valid points to the front, preserving order.
 
-    Needed where the reference's index-based subsample follows a crop
-    (coarse-alignment path: localization_node.cpp:207-213). Uses a stable
-    argsort on the inverted mask — O(N log N), rare path.
+    Used by the map re-crop (gathering the ~10 m neighbourhood out of the
+    full HBM-resident map into the fixed ICP target buffer) and where the
+    reference's index-based subsample follows a crop (coarse-alignment
+    path: localization_node.cpp:207-213). `nonzero(size=...)` lowers to a
+    prefix-sum + gather — O(N), order preserving.
     """
     out_capacity = out_capacity or cloud.capacity
-    order = jnp.argsort(~cloud.mask, stable=True)
-    pts = cloud.points[order]
-    msk = cloud.mask[order]
-    if out_capacity != cloud.capacity:
-        pts = pts[:out_capacity]
-        msk = msk[:out_capacity]
+    (idx,) = jnp.nonzero(cloud.mask, size=out_capacity, fill_value=0)
+    pts = jnp.take(cloud.points, idx, axis=0)
+    n = jnp.minimum(cloud.count(), out_capacity)
+    msk = jnp.arange(out_capacity) < n
     return Cloud(pts, msk)
 
 

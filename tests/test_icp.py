@@ -1,0 +1,135 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as ScipyR
+
+from slam_sensor_fusion_tpu.ops.icp import icp_align
+from slam_sensor_fusion_tpu.utils.config import ICPConfig
+from oracles import icp_oracle
+
+
+def padded(pts, capacity):
+    buf = np.zeros((capacity, 3), np.float32)
+    buf[: len(pts)] = pts
+    mask = np.zeros(capacity, bool)
+    mask[: len(pts)] = True
+    return jnp.asarray(buf), jnp.asarray(mask)
+
+
+def make_scene(rng, n=600):
+    """A structured scene (two walls + floor strip) so ICP is well posed."""
+    wall1 = np.stack(
+        [
+            rng.uniform(0, 10, n // 3),
+            np.full(n // 3, 2.0) + rng.normal(0, 0.01, n // 3),
+            rng.uniform(0, 3, n // 3),
+        ],
+        axis=1,
+    )
+    wall2 = np.stack(
+        [
+            np.full(n // 3, 8.0) + rng.normal(0, 0.01, n // 3),
+            rng.uniform(-5, 2, n // 3),
+            rng.uniform(0, 3, n // 3),
+        ],
+        axis=1,
+    )
+    floor = np.stack(
+        [
+            rng.uniform(0, 10, n - 2 * (n // 3)),
+            rng.uniform(-5, 2, n - 2 * (n // 3)),
+            rng.normal(0, 0.01, n - 2 * (n // 3)),
+        ],
+        axis=1,
+    )
+    return np.concatenate([wall1, wall2, floor]).astype(np.float32)
+
+
+def small_T(rng, rot=0.03, trans=0.15):
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = ScipyR.from_rotvec(rng.normal(0, rot, 3)).as_matrix()
+    T[:3, 3] = rng.normal(0, trans, 3)
+    return T
+
+
+def test_icp_converges_on_synthetic_offset(rng):
+    tgt = make_scene(rng)
+    T_true = small_T(rng)
+    # source = points in sensor frame such that T_true @ src = tgt
+    src = (tgt - T_true[:3, 3]) @ T_true[:3, :3]
+    s, sm = padded(src, 1024)
+    t, tm = padded(tgt, 1024)
+    res = icp_align(s, sm, t, tm, jnp.eye(4), ICPConfig())
+    T = np.asarray(res.transformation)
+    np.testing.assert_allclose(T, T_true, atol=5e-3)
+    assert bool(res.has_converged)
+
+
+def test_icp_matches_oracle_trajectory(rng):
+    """Same iterates as the dynamic-shape oracle port of the reference."""
+    tgt = make_scene(rng, n=450)
+    T_perturb = small_T(rng, rot=0.05, trans=0.25)
+    src = (tgt - T_perturb[:3, 3]) @ T_perturb[:3, :3]
+    # add noise so it does NOT hit acceptable error instantly
+    src = src + rng.normal(0, 0.02, src.shape).astype(np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+
+    ref = icp_oracle(src.astype(np.float64), tgt.astype(np.float64), T0.astype(np.float64))
+
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 512)
+    res = icp_align(s, sm, t, tm, jnp.asarray(T0), ICPConfig())
+
+    assert int(res.iterations) == ref["iterations"]
+    assert bool(res.has_converged) == ref["converged"]
+    np.testing.assert_allclose(float(res.error), ref["error"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.transformation), ref["T"], atol=2e-3
+    )
+
+
+def test_icp_early_exit_when_aligned(rng):
+    tgt = make_scene(rng, n=300)
+    s, sm = padded(tgt, 512)
+    t, tm = padded(tgt, 512)
+    res = icp_align(s, sm, t, tm, jnp.eye(4), ICPConfig())
+    # perfectly aligned: first error is 0 -> acceptable -> 0 iterations
+    assert int(res.iterations) == 0
+    assert bool(res.has_converged)
+    assert float(res.error) < 1e-6
+
+
+def test_icp_aborts_without_correspondences(rng):
+    src = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    tgt = src + 100.0  # far beyond the correspondence radius
+    s, sm = padded(src, 64)
+    t, tm = padded(tgt, 64)
+    T0 = np.eye(4, dtype=np.float32)
+    res = icp_align(s, sm, t, tm, jnp.asarray(T0), ICPConfig())
+    # reference: <10 correspondences -> return prior, error 1e6, not converged
+    np.testing.assert_array_equal(np.asarray(res.transformation), T0)
+    assert float(res.error) == 1e6
+    assert int(res.iterations) == 0
+    assert not bool(res.has_converged)
+
+
+def test_icp_squared_distance_gate(rng):
+    # correspondences are gated on SQUARED distance: offsets up to
+    # sqrt(0.5)~0.707 still match under max_correspondence_dist_sq=0.5
+    tgt = make_scene(rng, n=400)
+    offset = np.array([0.6, 0.0, 0.0], np.float32)  # 0.6 < 0.707
+    src = tgt - offset
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 512)
+    res = icp_align(s, sm, t, tm, jnp.eye(4), ICPConfig())
+    assert int(res.n_correspondences) > 350
+    assert bool(res.has_converged)
+
+
+def test_icp_respects_initial_transform(rng):
+    tgt = make_scene(rng)
+    T_true = small_T(rng, rot=0.02, trans=3.0)  # big offset, good prior
+    src = (tgt - T_true[:3, 3]) @ T_true[:3, :3]
+    s, sm = padded(src, 1024)
+    t, tm = padded(tgt, 1024)
+    res = icp_align(s, sm, t, tm, jnp.asarray(T_true), ICPConfig())
+    np.testing.assert_allclose(np.asarray(res.transformation), T_true, atol=1e-3)
