@@ -1,0 +1,549 @@
+"""The localization pipeline: per-scan fusion step and sequence driver.
+
+Rebuild of LocalizationNode (localization/src/localization_node.cpp) as a
+pure, fixed-shape JAX program:
+
+* ROS pub/sub + ApproximateTime sync become a host-side prestaged
+  `FrameBatch` of aligned arrays (one batched H2D copy per chunk);
+* the per-callback pipeline (localization_node.cpp:263-374) becomes
+  `step()` — one jitted program: subsample -> radius crop -> predicated
+  map re-crop -> odometry prediction -> GPS coarse pose -> covariance-
+  weighted blend -> stochastic gate -> ICP -> pose update;
+* the steady state streams under `lax.scan` with a fixed-size carry
+  (pose, filter queue, cropped map), so arbitrarily long trajectories run
+  on device with no host round-trips;
+* the one-shot startup (first-GPS initialization, brute-force coarse
+  alignment with its rescue-ICP ladder, localization_node.cpp:181-261) is
+  orchestrated per-frame from the host exactly like the reference retries
+  per callback, each attempt a jitted program.
+
+Parity notes (quirks preserved):
+* the prior is an ELEMENT-WISE blend of two 4x4 pose matrices, not a
+  manifold interpolation (localization_node.cpp:329);
+* gains swap the covariance traces (odom_gain = gps_trace / sum,
+  localization_node.cpp:172-178);
+* frames with GPS altitude < 0 are skipped entirely (:269-276);
+* the map is re-cropped (and the reference's kd-tree rebuilt — here: no
+  tree at all) only after moving ref_frame_distance from the last crop
+  pose (:299-305).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_sensor_fusion_tpu.models.mapping import MapData, gps_to_map_poses
+from slam_sensor_fusion_tpu.ops import cloud as cl
+from slam_sensor_fusion_tpu.ops import geometry as geo
+from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
+from slam_sensor_fusion_tpu.ops.brute_force import brute_force_align
+from slam_sensor_fusion_tpu.ops.icp import ICPResult, icp_align
+from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
+
+Array = jax.Array
+
+
+class FrameBatch(NamedTuple):
+    """Time-aligned sensor arrays for a chunk of frames (leading axis T)."""
+
+    scan_points: Array  # (T, S, 3)
+    scan_mask: Array  # (T, S)
+    odom_T_sensor: Array  # (T, 4, 4)
+    map_T_sensor_gps: Array  # (T, 4, 4) precomputed GPS coarse poses
+    odom_cov_trace: Array  # (T,)
+    gps_cov_trace: Array  # (T,)
+    valid: Array  # (T,) bool — GPS altitude >= 0 gate
+
+
+class PipelineState(NamedTuple):
+    """The lax.scan carry — everything the reference keeps as node members."""
+
+    map_T_sensor: Array  # (4, 4)
+    odom_T_sensor_previous: Array  # (4, 4)
+    map_T_ref: Array  # (4, 4) pose of the last map crop
+    cropped_map: cl.Cloud  # fixed-capacity ICP target
+    filter_state: sf.FilterState
+
+
+class StepOutput(NamedTuple):
+    map_T_sensor: Array  # (4, 4) posterior
+    map_T_sensor_prior: Array  # (4, 4) fused prior (debug topic)
+    map_T_sensor_odom: Array  # (4, 4) odometry prediction (debug)
+    icp_error: Array
+    icp_iterations: Array
+    icp_converged: Array
+    n_correspondences: Array
+    recropped: Array  # bool
+
+
+def init_state(
+    config: LocalizationConfig,
+    map_capacity: int,
+    first_gps_pose: Array,
+    first_odom_pose: Array,
+) -> PipelineState:
+    """initializePosesWithFirstReading (localization_node.cpp:181-198):
+    pose from the first valid GPS fix, odometry reference recorded, map
+    crop left empty so the first processed frame populates it."""
+    del map_capacity
+    cap = config.capacity.cropped_map
+    return PipelineState(
+        map_T_sensor=first_gps_pose,
+        odom_T_sensor_previous=first_odom_pose,
+        map_T_ref=first_gps_pose,
+        cropped_map=cl.Cloud(
+            jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap,), bool)
+        ),
+        filter_state=sf.init_state(config.filter),
+    )
+
+
+def _preprocess(
+    state: PipelineState,
+    scan_points: Array,
+    scan_mask: Array,
+    map_cloud: cl.Cloud,
+    config: LocalizationConfig,
+) -> tuple[cl.Cloud, cl.Cloud, Array, Array]:
+    """Scan subsample + crop, and predicated map re-crop
+    (localization_node.cpp:285-305).
+
+    Returns (cropped_scan, cropped_map, map_T_ref, recropped).
+    """
+    scan = cl.Cloud(scan_points, scan_mask)
+    scan = cl.uniform_subsample(scan, config.scan_subsample_step)
+    cropped_scan = cl.crop_radius(
+        scan, jnp.zeros(3, jnp.float32), config.cloud_crop_radius
+    )
+
+    sensor_T_ref = geo.inv_T(state.map_T_sensor) @ state.map_T_ref
+    moved = jnp.linalg.norm(sensor_T_ref[:3, 3]) > config.ref_frame_distance
+    empty = state.cropped_map.count() == 0
+    need = moved | empty
+
+    def recrop():
+        mask = cl.crop_radius(
+            map_cloud, state.map_T_sensor[:3, 3], config.cloud_crop_radius
+        )
+        return cl.compact(mask, config.capacity.cropped_map)
+
+    cropped_map = jax.lax.cond(need, recrop, lambda: state.cropped_map)
+    map_T_ref = jnp.where(need, state.map_T_sensor, state.map_T_ref)
+    return cropped_scan, cropped_map, map_T_ref, need
+
+
+def _pose_gains(
+    odom_cov_trace: Array, gps_cov_trace: Array, config: LocalizationConfig
+) -> tuple[Array, Array]:
+    """computePoseGainsFromCovarianceMatrices (localization_node.cpp:151-179):
+    each source's gain is the OTHER's covariance trace, normalized."""
+    if config.fixed_gains:
+        return jnp.float32(0.95), jnp.float32(0.05)
+    total = odom_cov_trace + gps_cov_trace
+    return gps_cov_trace / total, odom_cov_trace / total
+
+
+def _fine(
+    state: PipelineState,
+    cropped_scan: cl.Cloud,
+    cropped_map: cl.Cloud,
+    map_T_ref: Array,
+    recropped: Array,
+    odom_T_sensor: Array,
+    map_T_sensor_gps: Array,
+    odom_cov_trace: Array,
+    gps_cov_trace: Array,
+    config: LocalizationConfig,
+) -> tuple[PipelineState, StepOutput]:
+    """The FINE ALIGNMENT section (localization_node.cpp:317-341)."""
+    # odometry prediction: right-compose the odom delta onto the posterior
+    # (localization_node.cpp:106-109)
+    previous_T_current = geo.inv_T(state.odom_T_sensor_previous) @ odom_T_sensor
+    map_T_sensor_odom = state.map_T_sensor @ previous_T_current
+
+    odom_gain, gps_gain = _pose_gains(odom_cov_trace, gps_cov_trace, config)
+    prior = odom_gain * map_T_sensor_odom + gps_gain * map_T_sensor_gps
+
+    filter_state = sf.add_pose(state.filter_state, prior, config.filter)
+    prior = sf.apply_gate(filter_state, state.map_T_sensor, prior, config.filter)
+
+    icp_result: ICPResult = icp_align(
+        cropped_scan.points,
+        cropped_scan.mask,
+        cropped_map.points,
+        cropped_map.mask,
+        prior,
+        config.icp,
+    )
+
+    new_state = PipelineState(
+        map_T_sensor=icp_result.transformation,
+        odom_T_sensor_previous=odom_T_sensor,
+        map_T_ref=map_T_ref,
+        cropped_map=cropped_map,
+        filter_state=filter_state,
+    )
+    out = StepOutput(
+        map_T_sensor=icp_result.transformation,
+        map_T_sensor_prior=prior,
+        map_T_sensor_odom=map_T_sensor_odom,
+        icp_error=icp_result.error,
+        icp_iterations=icp_result.iterations,
+        icp_converged=icp_result.has_converged,
+        n_correspondences=icp_result.n_correspondences,
+        recropped=recropped,
+    )
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def step(
+    state: PipelineState,
+    scan_points: Array,
+    scan_mask: Array,
+    odom_T_sensor: Array,
+    map_T_sensor_gps: Array,
+    odom_cov_trace: Array,
+    gps_cov_trace: Array,
+    valid: Array,
+    map_cloud: cl.Cloud,
+    config: LocalizationConfig,
+) -> tuple[PipelineState, StepOutput]:
+    """One full steady-state localization callback as a single program."""
+    cropped_scan, cropped_map, map_T_ref, recropped = _preprocess(
+        state, scan_points, scan_mask, map_cloud, config
+    )
+    new_state, out = _fine(
+        state,
+        cropped_scan,
+        cropped_map,
+        map_T_ref,
+        recropped,
+        odom_T_sensor,
+        map_T_sensor_gps,
+        odom_cov_trace,
+        gps_cov_trace,
+        config,
+    )
+    # invalid frames (GPS altitude < 0) are full no-ops (:269-276)
+    new_state = jax.tree.map(
+        lambda new, old: jnp.where(valid, new, old), new_state, state
+    )
+    out = jax.tree.map(lambda x: jnp.where(valid, x, jnp.zeros_like(x)), out)
+    out = out._replace(
+        map_T_sensor=jnp.where(valid, out.map_T_sensor, state.map_T_sensor)
+    )
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def run_chunk(
+    state: PipelineState,
+    frames: FrameBatch,
+    map_cloud: cl.Cloud,
+    config: LocalizationConfig,
+) -> tuple[PipelineState, StepOutput]:
+    """lax.scan of `step` over a chunk of frames — the device-resident hot
+    loop. Outputs are stacked per frame."""
+
+    def body(carry, frame):
+        return step(
+            carry,
+            frame.scan_points,
+            frame.scan_mask,
+            frame.odom_T_sensor,
+            frame.map_T_sensor_gps,
+            frame.odom_cov_trace,
+            frame.gps_cov_trace,
+            frame.valid,
+            map_cloud,
+            config,
+        )
+
+    return jax.lax.scan(body, state, frames)
+
+
+# ---------------------------------------------------------------------------
+# Startup: coarse alignment ladder (performCoarseAlignment, :200-261)
+# ---------------------------------------------------------------------------
+
+
+class CoarseOutput(NamedTuple):
+    success: Array
+    map_T_sensor: Array  # accepted pose if success, else best-so-far guess
+    bf_success: Array
+    score: Array
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def coarse_attempt(
+    state: PipelineState,
+    scan_points: Array,
+    scan_mask: Array,
+    map_cloud: cl.Cloud,
+    guess: Array,
+    config: LocalizationConfig,
+) -> tuple[cl.Cloud, Array, Array, CoarseOutput]:
+    """One coarse-alignment attempt on one frame.
+
+    Mirrors the reference ladder: brute force on floor-removed, extra-
+    subsampled clouds; on failure a loose "rescue" ICP from the best
+    brute-force candidate (localization_node.cpp:200-261). Returns the
+    preprocessing results too so the caller can continue with the fine
+    step exactly like the reference does within the same callback.
+    """
+    cropped_scan, cropped_map, map_T_ref, recropped = _preprocess(
+        state, scan_points, scan_mask, map_cloud, config
+    )
+
+    # brute-force inputs: subsample(map, 15) + removeFloor(both) (:207-213).
+    # cropped_map is already packed (compact crop), so the index-based
+    # subsample matches the reference's compact PCL clouds; the results are
+    # then capacity-bounded with even sampling.
+    bf_map = cl.sample_to_capacity(
+        cl.remove_floor(
+            cl.uniform_subsample(cropped_map, config.brute_force_map_subsample_step)
+        ),
+        config.capacity.bf_target,
+    )
+    bf_scan = cl.sample_to_capacity(
+        cl.remove_floor(cropped_scan), config.capacity.bf_source
+    )
+
+    bf = brute_force_align(
+        bf_scan.points,
+        bf_scan.mask,
+        bf_map.points,
+        bf_map.mask,
+        guess,
+        config.brute_force,
+    )
+
+    def rescue():
+        res = icp_align(
+            bf_scan.points,
+            bf_scan.mask,
+            bf_map.points,
+            bf_map.mask,
+            bf.transformation,
+            config.rescue_icp,
+        )
+        return res.has_converged, res.transformation
+
+    success, pose = jax.lax.cond(
+        bf.success, lambda: (jnp.bool_(True), bf.transformation), rescue
+    )
+    return (
+        cropped_map,
+        map_T_ref,
+        cropped_scan,
+        CoarseOutput(
+            success=success,
+            map_T_sensor=jnp.where(success, pose, bf.transformation),
+            bf_success=bf.success,
+            score=bf.score,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LocalizationResult:
+    map_T_sensor: np.ndarray  # (T, 4, 4); frames before startup hold init pose
+    valid: np.ndarray  # (T,) which frames produced a posterior
+    icp_error: np.ndarray
+    icp_iterations: np.ndarray
+    icp_converged: np.ndarray
+    n_correspondences: np.ndarray
+    first_processed_frame: int
+
+
+def build_frame_batch(
+    config: LocalizationConfig,
+    scans: list[np.ndarray],
+    odom_T_sensor: np.ndarray,
+    map_T_sensor_gps: np.ndarray,
+    odom_cov_trace: np.ndarray,
+    gps_cov_trace: np.ndarray,
+    valid: np.ndarray,
+) -> FrameBatch:
+    """Pad per-frame host scans into stacked device arrays."""
+    S = config.capacity.scan
+    T = len(scans)
+    pts = np.zeros((T, S, 3), np.float32)
+    msk = np.zeros((T, S), bool)
+    for i, sc in enumerate(scans):
+        n = min(len(sc), S)
+        pts[i, :n] = sc[:n]
+        msk[i, :n] = True
+    return FrameBatch(
+        scan_points=jnp.asarray(pts),
+        scan_mask=jnp.asarray(msk),
+        odom_T_sensor=jnp.asarray(odom_T_sensor, jnp.float32),
+        map_T_sensor_gps=jnp.asarray(map_T_sensor_gps, jnp.float32),
+        odom_cov_trace=jnp.asarray(odom_cov_trace, jnp.float32),
+        gps_cov_trace=jnp.asarray(gps_cov_trace, jnp.float32),
+        valid=jnp.asarray(valid, bool),
+    )
+
+
+class Localizer:
+    """End-to-end localization session over a map (the node equivalent)."""
+
+    def __init__(self, map_data: MapData, config: LocalizationConfig = LocalizationConfig()):
+        self.config = config
+        self.map_data = map_data
+        # map load path: voxel-downsampled merged map further uniform-
+        # subsampled by 3 (localization_node.cpp:19-20). The subsample
+        # happens on host once — same every-kth semantics.
+        pts = map_data.map_points[:: config.map_subsample_step]
+        cap = 1 << int(np.ceil(np.log2(max(len(pts), 1024))))
+        self.map_cloud = cl.from_numpy(pts, cap)
+
+    def gps_poses(self, lat, lon, compass_yaw) -> np.ndarray:
+        return gps_to_map_poses(self.map_data, lat, lon, compass_yaw)
+
+    def run(
+        self,
+        scans: list[np.ndarray],
+        odom_T_sensor: np.ndarray,
+        gps_lat: np.ndarray,
+        gps_lon: np.ndarray,
+        gps_alt: np.ndarray,
+        compass_yaw: np.ndarray,
+        odom_cov_trace: np.ndarray,
+        gps_cov_trace: np.ndarray,
+        chunk: int = 64,
+    ) -> LocalizationResult:
+        """Replay a full sequence: startup gating + coarse ladder on the
+        host (one jitted attempt per frame, like the reference's per-
+        callback retries), then chunked lax.scan for the steady state."""
+        T = len(scans)
+        cfg = self.config
+        valid = np.asarray(gps_alt) >= 0
+        gps_T = self.gps_poses(gps_lat, gps_lon, compass_yaw)
+
+        out_T = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
+        out_valid = np.zeros(T, bool)
+        out_err = np.zeros(T, np.float32)
+        out_iters = np.zeros(T, np.int32)
+        out_conv = np.zeros(T, bool)
+        out_ncorr = np.zeros(T, np.int32)
+
+        # ---- startup: first valid GPS fix initializes the pose ----
+        first = int(np.argmax(valid)) if valid.any() else T
+        if first >= T:
+            return LocalizationResult(
+                out_T, out_valid, out_err, out_iters, out_conv, out_ncorr, T
+            )
+        state = init_state(
+            cfg,
+            self.map_cloud.capacity,
+            jnp.asarray(gps_T[first]),
+            jnp.asarray(odom_T_sensor[first], jnp.float32),
+        )
+        out_T[: first + 1] = gps_T[first]
+
+        # ---- coarse ladder: retry per frame until success ----
+        i = first + 1
+        guess = jnp.asarray(gps_T[first])
+        coarse_done = False
+        while i < T and not coarse_done:
+            if not valid[i]:
+                i += 1
+                continue
+            frame = build_frame_batch(
+                cfg,
+                [scans[i]],
+                odom_T_sensor[i : i + 1],
+                gps_T[i : i + 1],
+                odom_cov_trace[i : i + 1],
+                gps_cov_trace[i : i + 1],
+                valid[i : i + 1],
+            )
+            cropped_map, map_T_ref, cropped_scan, coarse = coarse_attempt(
+                state,
+                frame.scan_points[0],
+                frame.scan_mask[0],
+                self.map_cloud,
+                guess,
+                cfg,
+            )
+            state = state._replace(cropped_map=cropped_map, map_T_ref=map_T_ref)
+            if bool(coarse.success):
+                coarse_done = True
+                state = state._replace(map_T_sensor=coarse.map_T_sensor)
+                # fine alignment runs in the same frame (:311-341)
+                state, out = _fine_jit(
+                    state,
+                    cropped_scan,
+                    state.cropped_map,
+                    state.map_T_ref,
+                    jnp.bool_(False),
+                    frame.odom_T_sensor[0],
+                    frame.map_T_sensor_gps[0],
+                    frame.odom_cov_trace[0],
+                    frame.gps_cov_trace[0],
+                    cfg,
+                )
+                self._record(out, i, out_T, out_valid, out_err, out_iters, out_conv, out_ncorr)
+            else:
+                # next attempt searches around the best candidate
+                # (brute_force_alignment.cpp:125-126)
+                guess = coarse.map_T_sensor
+                out_T[i] = np.asarray(state.map_T_sensor)
+            i += 1
+
+        # ---- steady state: chunked device scan ----
+        while i < T:
+            j = min(i + chunk, T)
+            frames = build_frame_batch(
+                cfg,
+                scans[i:j],
+                odom_T_sensor[i:j],
+                gps_T[i:j],
+                odom_cov_trace[i:j],
+                gps_cov_trace[i:j],
+                valid[i:j],
+            )
+            state, outs = run_chunk(state, frames, self.map_cloud, cfg)
+            outs = jax.tree.map(np.asarray, outs)
+            out_T[i:j] = outs.map_T_sensor
+            out_valid[i:j] = np.asarray(frames.valid)
+            out_err[i:j] = outs.icp_error
+            out_iters[i:j] = outs.icp_iterations
+            out_conv[i:j] = outs.icp_converged
+            out_ncorr[i:j] = outs.n_correspondences
+            i = j
+
+        return LocalizationResult(
+            out_T, out_valid, out_err, out_iters, out_conv, out_ncorr, first
+        )
+
+    @staticmethod
+    def _record(out: StepOutput, i, out_T, out_valid, out_err, out_iters, out_conv, out_ncorr):
+        out_T[i] = np.asarray(out.map_T_sensor)
+        out_valid[i] = True
+        out_err[i] = float(out.icp_error)
+        out_iters[i] = int(out.icp_iterations)
+        out_conv[i] = bool(out.icp_converged)
+        out_ncorr[i] = int(out.n_correspondences)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _fine_jit(state, cropped_scan, cropped_map, map_T_ref, recropped,
+              odom_T_sensor, map_T_sensor_gps, odom_cov_trace, gps_cov_trace, config):
+    return _fine(
+        state, cropped_scan, cropped_map, map_T_ref, recropped,
+        odom_T_sensor, map_T_sensor_gps, odom_cov_trace, gps_cov_trace, config,
+    )

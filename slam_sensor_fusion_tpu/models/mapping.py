@@ -1,0 +1,203 @@
+"""Map-data management: tile merging, map_T_global solve, altitude table.
+
+Host-side rebuild of GlobalMapFramesManager
+(localization/src/global_map_frames_manager.cpp) and the mapping recorder's
+artifacts (mapping/src/map_data_save_node.cpp). These run once at startup on
+f64 host math (UTM magnitudes), producing the device-resident map arrays and
+the map_T_global datum that rebases all GPS data into f32-safe map-frame
+coordinates — the same centring trick the reference gets implicitly from
+composing map_T_global (global_map_frames_manager.cpp:224-246).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from slam_sensor_fusion_tpu.ops.cloud import voxel_downsample_numpy
+from slam_sensor_fusion_tpu.ops.utm import ll_to_utm
+from slam_sensor_fusion_tpu.utils.config import MappingConfig
+
+
+@dataclasses.dataclass
+class MapData:
+    """Everything the localization pipeline needs from a mapping run."""
+
+    map_points: np.ndarray  # (N, 3) float32, voxel-downsampled map cloud
+    map_T_global: np.ndarray  # (4, 4) float64
+    altitude_table: np.ndarray  # (K, 3) float64 rows (lat, lon, alt)
+
+
+def _rot_z(yaw: float) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def merge_tiles(tiles: list[np.ndarray], voxel_size: float = 0.1) -> np.ndarray:
+    """Concatenate scan tiles and voxel-downsample — the TPU build's
+    mergeScansAndSave (global_map_frames_manager.cpp:110-151)."""
+    if not tiles:
+        return np.zeros((0, 3), np.float32)
+    merged = np.concatenate([np.asarray(t, np.float32).reshape(-1, 3) for t in tiles])
+    return voxel_downsample_numpy(merged, voxel_size)
+
+
+def build_altitude_table(gps_rows: np.ndarray) -> np.ndarray:
+    """Rows (lat, lon, alt, yaw) -> altitude lookup rows with alt > 0
+    (global_map_frames_manager.cpp:59-64; note: UNfiltered by odometry)."""
+    gps_rows = np.asarray(gps_rows, np.float64).reshape(-1, 4)
+    keep = gps_rows[:, 2] > 0
+    return gps_rows[keep, :3]
+
+
+def closest_altitude(table: np.ndarray, lat: float, lon: float) -> float:
+    """Nearest-neighbour altitude in raw lat/lon degrees
+    (global_map_frames_manager.cpp:69-91). Empty table -> 0."""
+    if table.shape[0] == 0:
+        return 0.0
+    d = np.hypot(table[:, 0] - lat, table[:, 1] - lon)
+    return float(table[np.argmin(d), 2])
+
+
+def closest_altitude_batch(table: np.ndarray, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    if table.shape[0] == 0:
+        return np.zeros_like(np.asarray(lat, np.float64))
+    d = np.hypot(
+        table[None, :, 0] - np.asarray(lat)[:, None],
+        table[None, :, 1] - np.asarray(lon)[:, None],
+    )
+    return table[np.argmin(d, axis=1), 2]
+
+
+def solve_map_T_global(
+    odom_positions: np.ndarray,
+    gps_rows: np.ndarray,
+    config: MappingConfig = MappingConfig(),
+) -> np.ndarray:
+    """Solve the map<-global datum from standstill calibration poses.
+
+    Port of GlobalMapFramesManager::getMapTGlobal/computeMapTGlobal
+    (global_map_frames_manager.cpp:182-248): keep rows where the odometry
+    xy-norm < 0.1 m AND altitude > 0, take the first <= num_poses_max, mean
+    the UTM translations and compass yaws, build global_T_map = (Rz(yaw),
+    t_mean) and return its inverse. Like the reference, proceeds even when
+    the filter leaves <= 3 poses and returns identity when it leaves none.
+    """
+    odom_positions = np.asarray(odom_positions, np.float64).reshape(-1, 3)
+    gps_rows = np.asarray(gps_rows, np.float64).reshape(-1, 4)
+    n = min(len(odom_positions), len(gps_rows))
+    if len(odom_positions) != len(gps_rows):
+        # reference errors and keeps both vectors as-is; truncate defensively
+        odom_positions, gps_rows = odom_positions[:n], gps_rows[:n]
+    keep = (np.linalg.norm(odom_positions[:, :2], axis=1) < config.standstill_xy_norm) & (
+        gps_rows[:, 2] > 0
+    )
+    rows = gps_rows[keep][: config.max_map_optimization_poses]
+    if rows.shape[0] == 0:
+        return np.eye(4)
+
+    e, nn = ll_to_utm(rows[:, 0], rows[:, 1])
+    global_t_map = np.stack([e, nn, rows[:, 2]], axis=1).mean(axis=0)
+    yaw_avg = rows[:, 3].mean()
+
+    map_R_global = _rot_z(-yaw_avg)
+    map_T_global = np.eye(4)
+    map_T_global[:3, :3] = map_R_global
+    map_T_global[:3, 3] = -map_R_global @ global_t_map
+    return map_T_global
+
+
+def build_map_data(
+    tiles: list[np.ndarray],
+    odom_positions: np.ndarray,
+    gps_rows: np.ndarray,
+    config: MappingConfig = MappingConfig(),
+) -> MapData:
+    """One-stop map build from a mapping run's artifacts."""
+    return MapData(
+        map_points=merge_tiles(tiles, config.map_voxel_size),
+        map_T_global=solve_map_T_global(odom_positions, gps_rows, config),
+        altitude_table=build_altitude_table(gps_rows),
+    )
+
+
+def gps_to_map_poses(
+    map_data: MapData,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    compass_yaw: np.ndarray,
+) -> np.ndarray:
+    """Per-frame GPS/compass coarse poses in the MAP frame, f32-safe.
+
+    Host-side vectorized port of computeGpsCoarsePoseInMapFrame
+    (localization_node.cpp:112-128): Rz(compass yaw) + UTM position with
+    the table altitude, composed with map_T_global. Precomputing the whole
+    stream keeps UTM f64 math off the device while feeding the scan loop
+    pure f32 map-frame arrays.
+    """
+    lat = np.asarray(lat, np.float64)
+    lon = np.asarray(lon, np.float64)
+    yaw = np.asarray(compass_yaw, np.float64)
+    e, n = ll_to_utm(lat, lon)
+    alt = closest_altitude_batch(map_data.altitude_table, lat, lon)
+    T = len(lat)
+    out = np.zeros((T, 4, 4))
+    c, s = np.cos(yaw), np.sin(yaw)
+    out[:, 0, 0] = c
+    out[:, 0, 1] = -s
+    out[:, 1, 0] = s
+    out[:, 1, 1] = c
+    out[:, 2, 2] = 1.0
+    out[:, 3, 3] = 1.0
+    out[:, 0, 3] = e
+    out[:, 1, 3] = n
+    out[:, 2, 3] = alt
+    out = np.einsum("ij,tjk->tik", map_data.map_T_global, out)
+    return out.astype(np.float32)
+
+
+class StreamingMapper:
+    """Online mapping recorder — the TPU build's MapDataSaver
+    (map_data_save_node.cpp): accumulate registered scans, cut a tile every
+    ``cloud_save_rate`` frames, log odometry positions and GPS/compass rows.
+    Storage is pluggable (in-memory by default; io.save_map_data persists).
+    """
+
+    def __init__(self, config: MappingConfig = MappingConfig()):
+        self.config = config
+        self._accum: list[np.ndarray] = []
+        self._counter = 0
+        self.tiles: list[np.ndarray] = []
+        self.odom_positions: list[np.ndarray] = []
+        self.gps_rows: list[np.ndarray] = []
+
+    def add_frame(
+        self,
+        scan_map_frame: np.ndarray,
+        odom_position: np.ndarray,
+        lat: float,
+        lon: float,
+        alt: float,
+        compass_yaw: float,
+    ) -> None:
+        self._accum.append(np.asarray(scan_map_frame, np.float32).reshape(-1, 3))
+        self._counter += 1
+        if self._counter % self.config.cloud_save_rate == 0:
+            self.tiles.append(np.concatenate(self._accum))
+            self._accum = []
+        self.odom_positions.append(np.asarray(odom_position, np.float64))
+        self.gps_rows.append(np.array([lat, lon, alt, compass_yaw], np.float64))
+
+    def finalize(self) -> MapData:
+        """Flush the residual tile (onShutdown, map_data_save_node.cpp:101-113)
+        and build the MapData."""
+        if self._accum:
+            self.tiles.append(np.concatenate(self._accum))
+            self._accum = []
+        return build_map_data(
+            self.tiles,
+            np.stack(self.odom_positions) if self.odom_positions else np.zeros((0, 3)),
+            np.stack(self.gps_rows) if self.gps_rows else np.zeros((0, 4)),
+            self.config,
+        )

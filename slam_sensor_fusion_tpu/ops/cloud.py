@@ -115,6 +115,27 @@ def compact(cloud: Cloud, out_capacity: int | None = None) -> Cloud:
     return Cloud(pts, msk)
 
 
+def sample_to_capacity(cloud: Cloud, out_capacity: int) -> Cloud:
+    """Evenly sample the valid points into a (possibly smaller) capacity.
+
+    When the valid count fits, this is exactly `compact` (order-preserving,
+    lossless). When it does not, valid points are taken at an even stride
+    across the packed order, which keeps the sample spatially spread for
+    ordered sensor scans instead of truncating to the first angular sector.
+    Used to bound the brute-force scoring cloud (the reference scores every
+    point, brute_force_alignment.cpp:96; capacity bounding is the
+    static-shape equivalent).
+    """
+    packed = compact(cloud, cloud.capacity)
+    n = packed.count()
+    i = jnp.arange(out_capacity)
+    idx = (i * n) // out_capacity  # hits every index once when n <= cap
+    pts = jnp.take(packed.points, idx, axis=0)
+    dup = jnp.concatenate([jnp.array([False]), idx[1:] == idx[:-1]])
+    mask = (idx < n) & ~dup  # idx<n also kills everything when n == 0
+    return Cloud(pts, mask)
+
+
 def masked_points(cloud: Cloud, fill: float = jnp.inf) -> Array:
     """Points with invalid rows replaced by ``fill`` (for NN targets)."""
     return jnp.where(cloud.mask[:, None], cloud.points, fill)

@@ -98,3 +98,17 @@ def test_masked_points_fill(rng):
     mp = np.asarray(cl.masked_points(c))
     assert np.isinf(mp[10:]).all()
     np.testing.assert_array_equal(mp[:10], pts)
+
+
+def test_sample_to_capacity_lossless_when_fits(rng):
+    pts, c = make_cloud(rng, n=50, capacity=128)
+    out = cl.sample_to_capacity(c, 64)
+    np.testing.assert_array_equal(cl.to_numpy(out), pts)
+
+
+def test_sample_to_capacity_even_stride(rng):
+    pts, c = make_cloud(rng, n=100, capacity=128)
+    out = cl.sample_to_capacity(c, 25)
+    got = cl.to_numpy(out)
+    assert got.shape[0] == 25
+    np.testing.assert_array_equal(got, pts[(np.arange(25) * 100) // 25])
