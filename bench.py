@@ -1,0 +1,143 @@
+"""Benchmark: registered scans/sec of the full per-scan localization loop.
+
+Runs the steady-state pipeline (subsample -> crop -> predicated map re-crop
+-> odometry prediction -> GPS fusion -> stochastic gate -> ICP) as a chunked
+`lax.scan` on the available accelerator, over a synthetic LiDAR sequence at
+production capacities, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "scans/sec", "vs_baseline": N}
+
+vs_baseline is measured against the driver's north-star target of 1000
+registered scans/sec on one TPU v5e chip (BASELINE.md — the reference
+publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from slam_sensor_fusion_tpu.models.localization import (
+        Localizer,
+        build_frame_batch,
+        init_state,
+        run_chunk,
+    )
+    from slam_sensor_fusion_tpu.models.mapping import build_map_data
+    from slam_sensor_fusion_tpu.utils import synthetic as syn
+    from slam_sensor_fusion_tpu.utils.config import CloudCapacity, LocalizationConfig
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "256"))
+
+    config = LocalizationConfig(
+        capacity=CloudCapacity(
+            scan=32768,
+            cropped_scan=16384,
+            cropped_map=65536,
+            map=1 << 20,
+            bf_source=1024,
+            bf_target=8192,
+        ),
+        # synthetic worlds are sparser than survey maps; keep full density
+        map_subsample_step=1,
+        brute_force_map_subsample_step=3,
+    )
+
+    log(f"devices: {jax.devices()}")
+    log("building synthetic world + sequence ...")
+    rng = np.random.default_rng(0)
+    world = syn.make_world(rng, extent=140.0, n_buildings=70, n_poles=200,
+                           points_per_m2=24.0)
+    poses = syn.make_trajectory(n_frames, speed_per_frame=0.15, radius=45.0)
+    seq = syn.make_sequence(seed=0, world=world, poses=poses, scan_points=24000)
+
+    tiles = []
+    map_rng = np.random.default_rng(1)
+    for i in range(0, n_frames, 4):
+        body = syn.render_scan(world, poses[i], map_rng, max_points=24000, noise=0.005)
+        tiles.append(body @ poses[i][:3, :3].T + poses[i][:3, 3])
+    odom_pos, gps_rows = syn.make_mapping_logs(seq)
+    map_data = build_map_data(tiles, odom_pos, gps_rows)
+    log(f"map points: {map_data.map_points.shape}")
+
+    loc = Localizer(map_data, config)
+    gps_T = loc.gps_poses(seq.gps_lat, seq.gps_lon, seq.compass_yaw)
+
+    state = init_state(
+        config,
+        loc.map_cloud.capacity,
+        jnp.asarray(gps_T[0]),
+        jnp.asarray(seq.odom_T_sensor[0], jnp.float32),
+    )
+
+    # prestage all chunks on device (the host IO path is not what we bench)
+    batches = []
+    for i in range(1, n_frames, chunk):
+        j = min(i + chunk, n_frames)
+        fb = build_frame_batch(
+            config,
+            seq.scans[i:j],
+            seq.odom_T_sensor[i:j],
+            gps_T[i:j],
+            seq.odom_cov_trace[i:j],
+            seq.gps_cov_trace[i:j],
+            np.ones(j - i, bool),
+        )
+        batches.append(jax.device_put(fb))
+
+    # warmup / compile on the first chunk
+    log("compiling ...")
+    t0 = time.perf_counter()
+    wstate, wout = run_chunk(state, batches[0], loc.map_cloud, config)
+    jax.block_until_ready((wstate, wout))
+    log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
+
+    # timed run over all chunks, carrying state exactly like a deployment
+    t0 = time.perf_counter()
+    s = state
+    outs = []
+    for fb in batches:
+        s, out = run_chunk(s, fb, loc.map_cloud, config)
+        outs.append(out)
+    jax.block_until_ready((s, outs))
+    elapsed = time.perf_counter() - t0
+    total_frames = sum(int(fb.valid.shape[0]) for fb in batches)
+    scans_per_sec = total_frames / elapsed
+
+    # sanity: the benched run must actually localize
+    est = np.concatenate([np.asarray(o.map_T_sensor) for o in outs])
+    gt = seq.true_map_T_sensor[1:total_frames + 1]
+    ate = float(np.sqrt(((est[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean()))
+    conv = float(np.concatenate([np.asarray(o.icp_converged) for o in outs]).mean())
+    log(f"frames: {total_frames}  elapsed: {elapsed:.3f}s  "
+        f"ATE-RMSE: {ate:.3f} m  icp-converged: {conv:.2f}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "registered scans/sec (full per-scan localization loop, synthetic seq)",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/sec",
+                "vs_baseline": round(scans_per_sec / 1000.0, 4),
+                "ate_rmse_m": round(ate, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

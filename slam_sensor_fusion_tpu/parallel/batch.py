@@ -1,0 +1,96 @@
+"""Fleet-parallel localization: a batch of sequences sharded over devices.
+
+Scales the per-scan pipeline the TPU way: every input gains a leading
+batch axis B, sharded across the mesh's `dp` axis with `jax.sharding`
+annotations; XLA partitions the whole `lax.scan` program so each device
+streams its own sequence against its own (or a replicated) map. No
+collectives are needed in the steady state — pose estimation across robots
+is embarrassingly parallel — so scaling is linear in devices and the
+interconnect stays free for the brute-force candidate reduction
+(parallel/brute_force.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from slam_sensor_fusion_tpu.models.localization import (
+    FrameBatch,
+    PipelineState,
+    StepOutput,
+    step,
+)
+from slam_sensor_fusion_tpu.ops import cloud as cl
+from slam_sensor_fusion_tpu.parallel.mesh import batch_sharding
+from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
+
+Array = jax.Array
+
+
+def batched_init_state(
+    config: LocalizationConfig,
+    first_gps_pose: Array,  # (B, 4, 4)
+    first_odom_pose: Array,  # (B, 4, 4)
+) -> PipelineState:
+    B = first_gps_pose.shape[0]
+    cap = config.capacity.cropped_map
+    from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
+
+    fs = sf.init_state(config.filter)
+    return PipelineState(
+        map_T_sensor=first_gps_pose,
+        odom_T_sensor_previous=first_odom_pose,
+        map_T_ref=first_gps_pose,
+        cropped_map=cl.Cloud(
+            jnp.zeros((B, cap, 3), jnp.float32), jnp.zeros((B, cap), bool)
+        ),
+        filter_state=jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), fs
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def batched_run_chunk(
+    states: PipelineState,  # leading axis B on every leaf
+    frames: FrameBatch,  # (B, T, ...)
+    map_clouds: cl.Cloud,  # (B, N, 3)/(B, N) — one map per sequence
+    config: LocalizationConfig,
+) -> tuple[PipelineState, StepOutput]:
+    """scan-of-vmapped-step over (B, T, ...) frame stacks."""
+
+    vstep = jax.vmap(
+        lambda s, sp, sm, od, gp, oc, gc, v, mc: step(
+            s, sp, sm, od, gp, oc, gc, v, mc, config
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0),
+    )
+
+    def body(carry, frame_t):
+        return vstep(
+            carry,
+            frame_t.scan_points,
+            frame_t.scan_mask,
+            frame_t.odom_T_sensor,
+            frame_t.map_T_sensor_gps,
+            frame_t.odom_cov_trace,
+            frame_t.gps_cov_trace,
+            frame_t.valid,
+            map_clouds,
+        )
+
+    # move time to the scan axis: (B, T, ...) -> (T, B, ...)
+    frames_t = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), frames)
+    final, outs = jax.lax.scan(body, states, frames_t)
+    outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+    return final, outs
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place every leaf with its leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

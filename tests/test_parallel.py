@@ -1,0 +1,94 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from slam_sensor_fusion_tpu.models.localization import (
+    Localizer,
+    build_frame_batch,
+    init_state,
+    run_chunk,
+)
+from slam_sensor_fusion_tpu.parallel.batch import (
+    batched_init_state,
+    batched_run_chunk,
+    shard_batch,
+)
+from slam_sensor_fusion_tpu.parallel.brute_force import sharded_brute_force_align
+from slam_sensor_fusion_tpu.parallel.mesh import make_mesh
+from slam_sensor_fusion_tpu.ops.brute_force import brute_force_align
+from test_pipeline import TEST_CONFIG, build_world_and_sequence
+from test_brute_force import SMALL, padded
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    assert mesh.shape["dp"] == 8
+
+
+def test_batched_matches_sequential():
+    """B=4 identical sequences through the fleet path == single-seq path."""
+    seq, map_data = build_world_and_sequence(n_frames=12, seed=11)
+    loc = Localizer(map_data, TEST_CONFIG)
+    gps_T = loc.gps_poses(seq.gps_lat, seq.gps_lon, seq.compass_yaw)
+    frames = build_frame_batch(
+        TEST_CONFIG,
+        seq.scans[1:],
+        seq.odom_T_sensor[1:],
+        gps_T[1:],
+        seq.odom_cov_trace[1:],
+        seq.gps_cov_trace[1:],
+        np.ones(len(seq.scans) - 1, bool),
+    )
+    state = init_state(
+        TEST_CONFIG,
+        loc.map_cloud.capacity,
+        jnp.asarray(gps_T[0]),
+        jnp.asarray(seq.odom_T_sensor[0]),
+    )
+    _, single = run_chunk(state, frames, loc.map_cloud, TEST_CONFIG)
+
+    B = 4
+    mesh = make_mesh(4)
+    bstate = batched_init_state(
+        TEST_CONFIG,
+        jnp.tile(gps_T[0][None], (B, 1, 1)),
+        jnp.tile(jnp.asarray(seq.odom_T_sensor[0])[None], (B, 1, 1)),
+    )
+    bframes = jax.tree.map(lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim), frames)
+    bmaps = jax.tree.map(
+        lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim), loc.map_cloud
+    )
+    bstate = shard_batch(bstate, mesh)
+    bframes = shard_batch(bframes, mesh)
+    bmaps = shard_batch(bmaps, mesh)
+    _, batched = batched_run_chunk(bstate, bframes, bmaps, TEST_CONFIG)
+
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(batched.map_T_sensor[b]),
+            np.asarray(single.map_T_sensor),
+            atol=1e-4,
+        )
+
+
+def test_sharded_brute_force_matches_single(rng):
+    tgt = rng.uniform(-3, 3, size=(150, 3)).astype(np.float32)
+    src = (tgt - np.array([0.35, 0.15, 0.05], np.float32)) + rng.normal(
+        0, 0.02, tgt.shape
+    ).astype(np.float32)
+    s, sm = padded(src, 256)
+    t, tm = padded(tgt, 256)
+    guess = jnp.eye(4)
+
+    single = brute_force_align(s, sm, t, tm, guess, SMALL, candidate_chunk=16)
+    mesh = make_mesh(8)
+    sharded = sharded_brute_force_align(s, sm, t, tm, guess, SMALL, mesh)
+
+    assert bool(single.success) == bool(sharded.success)
+    np.testing.assert_allclose(
+        np.asarray(single.transformation),
+        np.asarray(sharded.transformation),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(float(single.score), float(sharded.score), rtol=1e-4)
