@@ -41,6 +41,7 @@ import numpy as np
 from slam_sensor_fusion_tpu.models.mapping import MapData, gps_to_map_poses
 from slam_sensor_fusion_tpu.ops import cloud as cl
 from slam_sensor_fusion_tpu.ops import geometry as geo
+from slam_sensor_fusion_tpu.ops import morton
 from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
 from slam_sensor_fusion_tpu.ops.brute_force import brute_force_align
 from slam_sensor_fusion_tpu.ops.icp import ICPResult, icp_align
@@ -117,7 +118,10 @@ def _preprocess(
     Returns (cropped_scan, cropped_map, map_T_ref, recropped).
     """
     scan = cl.Cloud(scan_points, scan_mask)
-    scan = cl.uniform_subsample(scan, config.scan_subsample_step)
+    if not config.host_preprocess:
+        # otherwise the loader already subsampled (in original scan order,
+        # parity-identical) and Morton pre-sorted (build_frame_batch)
+        scan = cl.uniform_subsample(scan, config.scan_subsample_step)
     cropped_scan = cl.crop_radius(
         scan, jnp.zeros(3, jnp.float32), config.cloud_crop_radius
     )
@@ -131,7 +135,11 @@ def _preprocess(
         mask = cl.crop_radius(
             map_cloud, state.map_T_sensor[:3, 3], config.cloud_crop_radius
         )
-        return cl.compact(mask, config.capacity.cropped_map)
+        packed = cl.compact(mask, config.capacity.cropped_map)
+        # Morton-sort so ICP's gated correspondence search can cull target
+        # tiles by bbox distance (the kd-tree-build equivalent, done once
+        # per re-crop like icp_->setTargetPointCloud at :303)
+        return morton.sort_by_morton(packed)
 
     cropped_map = jax.lax.cond(need, recrop, lambda: state.cropped_map)
     map_T_ref = jnp.where(need, state.map_T_sensor, state.map_T_ref)
@@ -377,12 +385,22 @@ def build_frame_batch(
     gps_cov_trace: np.ndarray,
     valid: np.ndarray,
 ) -> FrameBatch:
-    """Pad per-frame host scans into stacked device arrays."""
+    """Pad per-frame host scans into stacked device arrays.
+
+    With config.host_preprocess the loader applies the reference's uniform
+    subsample here (in original scan order — parity with
+    localization_node.cpp:292) and Morton pre-sorts the result so the
+    gated correspondence search gets tight tiles without a device sort.
+    """
     S = config.capacity.scan
     T = len(scans)
     pts = np.zeros((T, S, 3), np.float32)
     msk = np.zeros((T, S), bool)
     for i, sc in enumerate(scans):
+        if config.host_preprocess:
+            if len(sc) >= config.scan_subsample_step:
+                sc = sc[:: config.scan_subsample_step]
+            sc = morton.sort_points_numpy(sc)
         n = min(len(sc), S)
         pts[i, :n] = sc[:n]
         msk[i, :n] = True

@@ -32,7 +32,7 @@ from slam_sensor_fusion_tpu.utils.config import BruteForceConfig
 
 Array = jax.Array
 
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)
 
 
 def _outward_sequence(rng: float, step: float) -> np.ndarray:

@@ -24,6 +24,7 @@ PCL convention the reference (perhaps unknowingly) relies on
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -32,11 +33,13 @@ import jax.numpy as jnp
 
 from slam_sensor_fusion_tpu.ops import geometry
 from slam_sensor_fusion_tpu.ops.nn import nearest_neighbor
+from slam_sensor_fusion_tpu.ops.nn_gated import gated_nn
+from slam_sensor_fusion_tpu.ops.nn_pallas import gated_nn_pallas
 from slam_sensor_fusion_tpu.utils.config import ICPConfig
 
 Array = jax.Array
 
-_F32_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 
 class ICPResult(NamedTuple):
@@ -94,14 +97,58 @@ def icp_align(
 
     pts0 = geometry.transform_points(initial_T, source)
 
-    d2, idx = nearest_neighbor(pts0, source_mask, target, target_mask, center)
+    # tile culling needs capacities divisible by the tile sizes; fall back
+    # to the dense sweep otherwise (static decision at trace time).
+    # Spatial coherence of the source order is the CALLER's job (host
+    # Morton pre-sort / sorted map crops) — culling is exact regardless,
+    # only tile tightness varies.
+    use_gated = (
+        config.gated
+        and source.shape[0] % config.tile_src == 0
+        and target.shape[0] % config.tile_tgt == 0
+    )
+    use_pallas = use_gated and (
+        config.nn_backend == "pallas" and jax.default_backend() == "tpu"
+    )
+    config = dataclasses.replace(config, gated=use_gated)
+
+    def associate(pts, mask):
+        if config.gated and use_pallas:
+            res = gated_nn_pallas(
+                pts,
+                mask,
+                target,
+                target_mask,
+                center,
+                config.max_correspondence_dist_sq,
+                config.tile_src,
+                config.tile_tgt,
+                config.max_visits,
+            )
+            return res.d2, res.idx
+        if config.gated:
+            res = gated_nn(
+                pts,
+                mask,
+                target,
+                target_mask,
+                center,
+                config.max_correspondence_dist_sq,
+                config.tile_src,
+                config.tile_tgt,
+                config.max_visits,
+            )
+            return res.d2, res.idx
+        return nearest_neighbor(pts, mask, target, target_mask, center)
+
+    d2, idx = associate(pts0, source_mask)
     alive0 = source_mask & (d2 < config.max_correspondence_dist_sq)
     corr0 = jnp.take(target, idx, axis=0)
     n_corr0 = jnp.sum(alive0.astype(jnp.int32))
     enough = n_corr0 >= config.min_correspondences
 
     def reassociate(pts, corr, alive):
-        d2n, idxn = nearest_neighbor(pts, alive, target, target_mask, center)
+        d2n, idxn = associate(pts, alive)
         new_alive = alive & (d2n < config.max_correspondence_dist_sq)
         new_corr = jnp.where(
             new_alive[:, None], jnp.take(target, idxn, axis=0), corr

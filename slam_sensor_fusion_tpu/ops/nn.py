@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_BIG = jnp.float32(3.0e38)
+_BIG = float(3.0e38)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -1,0 +1,152 @@
+"""Radius-gated nearest-neighbour search with Morton-tile culling.
+
+The pipeline only ever uses neighbours within the ICP correspondence gate
+(squared radius `max_correspondence_dist_sq`, icp_point_to_point.cpp:70) —
+points without a neighbour inside the gate are dropped either way. That
+turns NN into a BOUNDED-radius problem, which tile culling solves exactly:
+
+  1. both clouds are Morton-sorted (ops/morton.py), making every
+     fixed-size tile spatially tight;
+  2. per source tile, only target tiles whose bounding boxes lie within
+     the gate radius can contain an admissible neighbour — typically a
+     handful out of 128;
+  3. each (source tile, visited target tile) pair is one small
+     matmul + running (min, argmin), exactly like the dense kernel but
+     over ~10-50x fewer pairs.
+
+Results are EXACT within the gate: for any source point with an in-gate
+neighbour, the returned (d2, idx) equals the dense kernel's; points
+without one report d2 >= gate (value may differ from the true far-away NN
+— the dense kernel's result for those is discarded by every caller).
+
+If a source tile has more admissible target tiles than `max_visits`, the
+nearest-by-bbox tiles are kept. With sane tile sizes this bound is never
+hit inside the gate radius; `visit_overflow` reports it for observability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_sensor_fusion_tpu.ops.morton import bbox_pair_dist2, tile_bboxes
+
+Array = jax.Array
+
+_BIG = float(3.0e38)
+
+
+class GatedNNResult(NamedTuple):
+    d2: Array  # (M,) squared distance (>= gate if no admissible neighbour)
+    idx: Array  # (M,) index into the target array
+    visit_overflow: Array  # () bool: some tile pair was culled by max_visits
+
+
+def build_visit_lists(
+    src_pts: Array,
+    src_mask: Array,
+    tgt_pts: Array,
+    tgt_mask: Array,
+    radius2: float,
+    tile_src: int,
+    tile_tgt: int,
+    max_visits: int,
+) -> tuple[Array, Array, Array]:
+    """(visits (nSt, max_visits) int32, counts (nSt,), overflow ())."""
+    lo_s, hi_s, cnt_s = tile_bboxes(src_pts, src_mask, tile_src)
+    lo_t, hi_t, cnt_t = tile_bboxes(tgt_pts, tgt_mask, tile_tgt)
+    d2 = bbox_pair_dist2(lo_s, hi_s, lo_t, hi_t)  # (nSt, nTt)
+    admissible = d2 <= radius2  # inf for empty tiles -> False
+    n_adm = jnp.sum(admissible, axis=1)
+    # nearest-first ordering; inadmissible tiles sort last
+    keys = jnp.where(admissible, d2, jnp.inf)
+    order = jnp.argsort(keys, axis=1)
+    visits = order[:, :max_visits].astype(jnp.int32)
+    counts = jnp.minimum(n_adm, max_visits).astype(jnp.int32)
+    # source tiles with no valid points need no visits at all
+    counts = jnp.where(cnt_s > 0, counts, 0)
+    overflow = jnp.any((n_adm > max_visits) & (cnt_s > 0))
+    return visits, counts, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius2", "tile_src", "tile_tgt", "max_visits")
+)
+def gated_nn(
+    src: Array,
+    src_mask: Array,
+    tgt: Array,
+    tgt_mask: Array,
+    center: Array,
+    radius2: float,
+    tile_src: int = 512,
+    tile_tgt: int = 512,
+    max_visits: int = 16,
+) -> GatedNNResult:
+    """Gated NN over Morton-sorted clouds (XLA formulation).
+
+    Both clouds MUST be spatially sorted (ops.morton.sort_by_morton) for
+    the culling to be effective; correctness holds for any order.
+    The scan over the visit axis gathers one target tile per step and
+    carries a running (min, argmin) — the 100x-smaller sibling of
+    ops.nn.nearest_neighbor's target-chunk scan.
+    """
+    M = src.shape[0]
+    N = tgt.shape[0]
+    nSt = M // tile_src
+    nTt = N // tile_tgt
+    del nTt
+
+    visits, counts, overflow = build_visit_lists(
+        src, src_mask, tgt, tgt_mask, radius2, tile_src, tile_tgt, max_visits
+    )
+
+    srcc = (src - center[None, :]).astype(jnp.float32)
+    tgtc = (tgt - center[None, :]).astype(jnp.float32)
+    src_tiles = srcc.reshape(nSt, tile_src, 3)
+    s_norm = jnp.sum(src_tiles * src_tiles, axis=-1)  # (nSt, TM)
+    tgt_tiles = tgtc.reshape(-1, tile_tgt, 3)
+    tmask_tiles = tgt_mask.reshape(-1, tile_tgt)
+
+    def body(carry, j):
+        best_d2, best_idx = carry
+        tile_ids = visits[:, j]  # (nSt,)
+        t = jnp.take(tgt_tiles, tile_ids, axis=0)  # (nSt, TN, 3)
+        tm = jnp.take(tmask_tiles, tile_ids, axis=0)  # (nSt, TN)
+        live = j < counts  # (nSt,)
+        cross = jnp.einsum(
+            "stk,snk->stn",
+            src_tiles,
+            t,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        t_norm = jnp.sum(t * t, axis=-1)  # (nSt, TN)
+        d2 = s_norm[:, :, None] - 2.0 * cross + t_norm[:, None, :]
+        d2 = jnp.where((tm & live[:, None])[:, None, :], d2, _BIG)
+        tile_min = jnp.min(d2, axis=2)  # (nSt, TM)
+        tile_arg = (
+            jnp.argmin(d2, axis=2).astype(jnp.int32)
+            + tile_ids[:, None] * tile_tgt
+        )
+        better = tile_min < best_d2
+        return (
+            jnp.where(better, tile_min, best_d2),
+            jnp.where(better, tile_arg, best_idx),
+        ), None
+
+    init = (
+        jnp.full((nSt, tile_src), _BIG, jnp.float32),
+        jnp.zeros((nSt, tile_src), jnp.int32),
+    )
+    (best_d2, best_idx), _ = jax.lax.scan(
+        body, init, jnp.arange(max_visits), unroll=1
+    )
+    return GatedNNResult(
+        d2=jnp.maximum(best_d2.reshape(M), 0.0),
+        idx=best_idx.reshape(M),
+        visit_overflow=overflow,
+    )

@@ -12,6 +12,7 @@ interconnect stays free for the brute-force candidate reduction
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -62,6 +63,13 @@ def batched_run_chunk(
     config: LocalizationConfig,
 ) -> tuple[PipelineState, StepOutput]:
     """scan-of-vmapped-step over (B, T, ...) frame stacks."""
+    # the single-shot VMEM Pallas NN kernel is not vmappable; the gather-
+    # based XLA formulation is semantically identical and batches cleanly
+    config = dataclasses.replace(
+        config,
+        icp=dataclasses.replace(config.icp, nn_backend="xla"),
+        rescue_icp=dataclasses.replace(config.rescue_icp, nn_backend="xla"),
+    )
 
     vstep = jax.vmap(
         lambda s, sp, sm, od, gp, oc, gc, v, mc: step(

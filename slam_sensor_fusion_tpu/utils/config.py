@@ -46,6 +46,19 @@ class ICPConfig:
     #: below this many matched correspondences ICP aborts and returns the
     #: prior (icp_point_to_point.cpp:196-200)
     min_correspondences: int = 10
+    #: correspondence search backend: radius-gated Morton-tile culling
+    #: (exact within the gate, ~10-80x faster than dense) or the dense
+    #: distance sweep (ops/nn.py). Gated search assumes spatially coherent
+    #: input order (host pre-sort or ops.morton.sort_by_morton) for speed;
+    #: it is exact for any order.
+    gated: bool = True
+    #: "pallas" = single-shot VMEM kernel (ops/nn_pallas.py, TPU only),
+    #: "xla" = gather-based formulation (ops/nn_gated.py, any backend and
+    #: safe under vmap)
+    nn_backend: str = "pallas"
+    tile_src: int = 256
+    tile_tgt: int = 512
+    max_visits: int = 24
 
 
 #: rescue ICP used when brute-force first fix fails
@@ -55,6 +68,8 @@ RESCUE_ICP = ICPConfig(
     num_iterations=80,
     acceptable_mean_error=0.4,
     transformation_epsilon=1e-2,
+    # the 2.24 m gate admits many more tiles per source tile
+    max_visits=64,
 )
 
 
@@ -136,6 +151,13 @@ class LocalizationConfig:
     ref_frame_distance: float = 3.0
     #: scan uniform subsample step (localization_node.cpp:292)
     scan_subsample_step: int = 2
+    #: apply the scan subsample + Morton pre-sort on the host loader
+    #: (build_frame_batch) instead of on device. The subsample happens in
+    #: original scan order either way (parity); pre-sorting makes the
+    #: gated correspondence search fast without a per-frame device sort —
+    #: rigid transforms preserve tile locality, so host order stays good
+    #: for the whole ICP.
+    host_preprocess: bool = True
     #: map uniform subsample step applied after load (localization_node.cpp:20)
     map_subsample_step: int = 3
     #: extra map subsample for brute force (localization_node.cpp:211)
