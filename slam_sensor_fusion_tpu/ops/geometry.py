@@ -163,6 +163,74 @@ def compass_heading_to_yaw(heading_deg: Array) -> Array:
     return wrap_pi(jnp.deg2rad(90.0 - jnp.asarray(heading_deg)))
 
 
+def skew(v: Array) -> Array:
+    """Skew-symmetric matrix [v]x of (..., 3) vectors."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w: Array) -> Array:
+    """Rodrigues: exp of (..., 3) rotation vectors, stable near 0."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    # series fallbacks keep gradients finite at theta -> 0
+    a = jnp.where(theta2 > 1e-12, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
+    b = jnp.where(
+        theta2 > 1e-12, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0
+    )
+    K = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def so3_log(R: Array) -> Array:
+    """Rotation vector of (..., 3, 3) rotations (principal branch)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    scale = jnp.where(
+        theta > 1e-6, theta / (2.0 * jnp.sin(jnp.maximum(theta, 1e-12))), 0.5
+    )
+    return v * scale[..., None]
+
+
+def se3_exp(xi: Array) -> Array:
+    """exp of (..., 6) twists [rho, phi] -> (..., 4, 4) rigid transforms."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    R = so3_exp(phi)
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    K = skew(phi)
+    b = jnp.where(
+        theta2 > 1e-12, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0
+    )
+    c = jnp.where(
+        theta2 > 1e-12,
+        (theta - jnp.sin(theta)) / (theta2 * theta),
+        1.0 / 6.0 - theta2 / 120.0,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    V = eye + b[..., None, None] * K + c[..., None, None] * (K @ K)
+    t = jnp.einsum("...ij,...j->...i", V, rho)
+    return make_T(R, t)
+
+
 def svd3x3(H: Array) -> tuple[Array, Array, Array]:
     """Full SVD of (...,3,3). Thin wrapper: XLA handles tiny SVDs fine."""
     U, S, Vh = jnp.linalg.svd(H, full_matrices=True)

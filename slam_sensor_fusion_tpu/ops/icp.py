@@ -13,19 +13,32 @@ updates over static shapes:
   error < acceptable_mean_error (:215-219); LAZY re-association — only when
   |last_error - error| < transformation_epsilon are neighbours recomputed
   (:221-224), and the alive set can only shrink;
-* Kabsch/SVD step on the masked correspondences (:112-159) via
-  geometry.kabsch; left-composition T = T_step @ T (:228);
+* Kabsch/SVD step on the masked correspondences (:112-159); left-composed
+  T = T_step @ T (:228);
 * has_converged = final error < acceptable_mean_error (:252).
 
 The correspondence threshold is applied to SQUARED distances, matching the
 PCL convention the reference (perhaps unknowingly) relies on
 (icp_point_to_point.cpp:70).
+
+Two executions of the same semantics:
+
+* PALLAS path (TPU production): state lives in (n_tiles, 3, TILE) page
+  layout end to end — associations run the single-shot VMEM pair-list
+  kernel (ops/nn_pallas.py) against a pair list built ONCE with a dilated
+  radius, matched coordinates come back from the kernel (no gathers), and
+  the lazy re-association is computed unconditionally + selected, so the
+  loop body contains no `lax.cond` at all (conds cost ~0.5 ms each in
+  branch materialization on TPU);
+* DENSE/XLA path (CPU tests, fallback): (M, 3) layout with `lax.cond`ed
+  re-association using the dense sweep or the XLA gather formulation.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -33,13 +46,18 @@ import jax.numpy as jnp
 
 from slam_sensor_fusion_tpu.ops import geometry
 from slam_sensor_fusion_tpu.ops.nn import nearest_neighbor
-from slam_sensor_fusion_tpu.ops.nn_gated import gated_nn
-from slam_sensor_fusion_tpu.ops.nn_pallas import gated_nn_pallas
+from slam_sensor_fusion_tpu.ops.nn_gated import build_visit_lists, gated_nn
+from slam_sensor_fusion_tpu.ops.nn_pallas import (
+    _build_pair_list,
+    make_pages,
+    pair_nn,
+)
 from slam_sensor_fusion_tpu.utils.config import ICPConfig
 
 Array = jax.Array
 
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
+_BIG = 3.0e38
 
 
 class ICPResult(NamedTuple):
@@ -50,6 +68,159 @@ class ICPResult(NamedTuple):
     iterations: Array  # () int32
     has_converged: Array  # () bool
     n_correspondences: Array  # () int32 (extra observability)
+
+
+def _result(enough, final_T, final_err, final_i, n_corr0, initial_T, config):
+    # iterations counter: the reference counts completed step iterations
+    # (icp_point_to_point.cpp:234); the early-exit path does not increment.
+    error_out = jnp.where(enough, final_err, jnp.float32(1e6))
+    T_out = jnp.where(enough, final_T, initial_T)
+    return ICPResult(
+        transformation=T_out,
+        error=error_out,
+        iterations=jnp.where(enough, final_i, 0),
+        has_converged=enough & (error_out < config.acceptable_mean_error),
+        n_correspondences=n_corr0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas pages-native path
+# ---------------------------------------------------------------------------
+
+
+def _pages_transform(T: Array, pages: Array) -> Array:
+    """Apply a rigid transform to (nSt, 3, TM) pages."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    return jnp.einsum("ij,sjt->sit", R, pages) + t[None, :, None]
+
+
+def _pages_masked_mean_error(pts: Array, corr: Array, w: Array) -> Array:
+    """Mean Euclidean error over matched entries; pages layout.
+    (icp_point_to_point.cpp:161-170)."""
+    d = jnp.sqrt(jnp.maximum(jnp.sum((pts - corr) ** 2, axis=1), 0.0))  # (nSt, TM)
+    return jnp.sum(d * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _pages_kabsch(src: Array, tgt: Array, w: Array) -> Array:
+    """Weighted Kabsch on (nSt, 3, TM) pages (icp_point_to_point.cpp:112-159)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    c_src = jnp.einsum("sct,st->c", src, w) / wsum
+    c_tgt = jnp.einsum("sct,st->c", tgt, w) / wsum
+    src0 = (src - c_src[None, :, None]) * w[:, None, :]
+    tgt0 = tgt - c_tgt[None, :, None]
+    H = jnp.einsum("sct,sdt->cd", src0, tgt0)
+    U, _, Vh = jnp.linalg.svd(H, full_matrices=True)
+    V = Vh.T
+    R0 = V @ U.T
+    det = jnp.linalg.det(R0)
+    V_fixed = V.at[:, 2].multiply(jnp.where(det < 0, -1.0, 1.0))
+    R = V_fixed @ U.T
+    t = c_tgt - R @ c_src
+    return geometry.make_T(R.astype(src.dtype), t.astype(src.dtype))
+
+
+class _PState(NamedTuple):
+    i: Array
+    T: Array
+    pts: Array  # (nSt, 3, TM) current transformed source (rebased frame)
+    corr: Array  # (nSt, 3, TM) matched target coords (rebased frame)
+    alive: Array  # (nSt, TM) f32 weights
+    last_error: Array
+    error: Array
+    done: Array
+
+
+def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, interpret):
+    """Pages-native loop; no lax.cond in the body."""
+    center = initial_T[:3, 3]
+    TM, TN = config.tile_src, config.tile_tgt
+    nSt = source.shape[0] // TM
+    gate = config.max_correspondence_dist_sq
+
+    pts0_flat = geometry.transform_points(initial_T, source)
+    # the pair list is built once with a dilated radius and reused across
+    # re-associations; points move cm per step, far below the margin
+    search_r2 = (math.sqrt(gate) + config.reassoc_margin) ** 2
+    visits, counts, _ = build_visit_lists(
+        pts0_flat, source_mask, target, target_mask, search_r2, TM, TN,
+        config.max_visits,
+    )
+    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, nSt * 8)
+    tgt_pages = make_pages(target, target_mask, center, TN)
+    pts0 = make_pages(pts0_flat, source_mask, center, TM)
+    smask_pages = source_mask.reshape(nSt, TM)
+
+    def associate(pts_pages, alive_w):
+        d2, _, xyz_pages = pair_nn(
+            pts_pages, tgt_pages, pair_src, pair_tgt, n_pairs, interpret
+        )
+        d2 = d2[:, 0, :]  # (nSt, TM)
+        new_alive = alive_w * (d2 < gate).astype(jnp.float32)
+        return d2, xyz_pages, new_alive
+
+    alive_init = smask_pages.astype(jnp.float32)
+    d2_0, corr0, alive0 = associate(pts0, alive_init)
+    n_corr0 = jnp.sum(alive0).astype(jnp.int32)
+    enough = n_corr0 >= config.min_correspondences
+
+    def cond(s: _PState) -> Array:
+        return (s.i < config.num_iterations) & ~s.done
+
+    def body(s: _PState) -> _PState:
+        error = _pages_masked_mean_error(s.pts, s.corr, s.alive)
+        hit = error < config.acceptable_mean_error
+        need = (~hit) & (
+            jnp.abs(s.last_error - error) < config.transformation_epsilon
+        )
+        # unconditional association (the kernel costs ~20 us) + select —
+        # semantically identical to the reference's lazy re-association
+        _, corr_new, alive_new = associate(s.pts, s.alive)
+        corr_new = jnp.where(alive_new[:, None, :] > 0, corr_new, s.corr)
+        corr = jnp.where(need, corr_new, s.corr)
+        alive = jnp.where(need, alive_new, s.alive)
+
+        T_step = _pages_kabsch(s.pts, corr, alive)
+        T_new = jnp.where(hit, s.T, T_step @ s.T)
+        pts_new = jnp.where(hit, s.pts, _pages_transform(T_step, s.pts))
+        return _PState(
+            i=jnp.where(hit, s.i, s.i + 1),
+            T=T_new,
+            pts=pts_new,
+            corr=corr,
+            alive=alive,
+            last_error=error,
+            error=error,
+            done=hit,
+        )
+
+    # NOTE: the rebased frame shifts translations by `center`; run the
+    # composition in the original frame by conjugation at the end.
+    shift = geometry.make_T(jnp.eye(3, dtype=jnp.float32), center)
+    unshift = geometry.make_T(jnp.eye(3, dtype=jnp.float32), -center)
+    T_init_rebased = unshift @ initial_T
+
+    init = _PState(
+        i=jnp.int32(0),
+        T=T_init_rebased,
+        pts=pts0,
+        corr=corr0,
+        alive=alive0,
+        last_error=jnp.float32(_F32_MAX),
+        error=jnp.float32(_F32_MAX),
+        done=~enough,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    final_T = shift @ final.T
+    return _result(
+        enough, final_T, final.last_error, final.i, n_corr0, initial_T, config
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense / XLA-gated path ((M, 3) layout, lax.cond re-association)
+# ---------------------------------------------------------------------------
 
 
 class _State(NamedTuple):
@@ -64,69 +235,17 @@ class _State(NamedTuple):
 
 
 def _masked_mean_error(pts: Array, corr: Array, alive: Array) -> Array:
-    """Mean Euclidean (not squared) error over matched rows
-    (icp_point_to_point.cpp:161-170)."""
     d = jnp.linalg.norm(pts - corr, axis=-1)
     w = alive.astype(jnp.float32)
     return jnp.sum(d * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def icp_align(
-    source: Array,
-    source_mask: Array,
-    target: Array,
-    target_mask: Array,
-    initial_T: Array,
-    config: ICPConfig = ICPConfig(),
-) -> ICPResult:
-    """Align ``source`` onto ``target`` starting from ``initial_T``.
-
-    Args:
-      source: (M, 3) padded source points (the cropped scan).
-      source_mask: (M,) validity mask.
-      target: (N, 3) padded target points (the cropped map).
-      target_mask: (N,) validity mask.
-      initial_T: (4, 4) prior map_T_sensor.
-      config: ICPConfig (static).
-
-    Returns:
-      ICPResult with the refined transform.
-    """
+def _icp_xla(source, source_mask, target, target_mask, initial_T, config, use_gated):
     center = initial_T[:3, 3]
-
     pts0 = geometry.transform_points(initial_T, source)
 
-    # tile culling needs capacities divisible by the tile sizes; fall back
-    # to the dense sweep otherwise (static decision at trace time).
-    # Spatial coherence of the source order is the CALLER's job (host
-    # Morton pre-sort / sorted map crops) — culling is exact regardless,
-    # only tile tightness varies.
-    use_gated = (
-        config.gated
-        and source.shape[0] % config.tile_src == 0
-        and target.shape[0] % config.tile_tgt == 0
-    )
-    use_pallas = use_gated and (
-        config.nn_backend == "pallas" and jax.default_backend() == "tpu"
-    )
-    config = dataclasses.replace(config, gated=use_gated)
-
     def associate(pts, mask):
-        if config.gated and use_pallas:
-            res = gated_nn_pallas(
-                pts,
-                mask,
-                target,
-                target_mask,
-                center,
-                config.max_correspondence_dist_sq,
-                config.tile_src,
-                config.tile_tgt,
-                config.max_visits,
-            )
-            return res.d2, res.idx
-        if config.gated:
+        if use_gated:
             res = gated_nn(
                 pts,
                 mask,
@@ -163,7 +282,6 @@ def icp_align(
         hit_acceptable = error < config.acceptable_mean_error
 
         def after_accept(s=s, error=error):
-            # break: record error as last_error, stop
             return _State(
                 s.i, s.T, s.pts, s.corr, s.alive, error, error, jnp.bool_(True)
             )
@@ -192,20 +310,59 @@ def icp_align(
         pts=pts0,
         corr=corr0,
         alive=alive0,
-        last_error=_F32_MAX,
-        error=_F32_MAX,
+        last_error=jnp.float32(_F32_MAX),
+        error=jnp.float32(_F32_MAX),
         done=~enough,
     )
     final = jax.lax.while_loop(cond, body, init)
+    return _result(
+        enough, final.T, final.last_error, final.i, n_corr0, initial_T, config
+    )
 
-    # iterations counter: the reference counts completed step iterations
-    # (icp_point_to_point.cpp:234); the early-exit path does not increment.
-    error_out = jnp.where(enough, final.last_error, jnp.float32(1e6))
-    T_out = jnp.where(enough, final.T, initial_T)
-    return ICPResult(
-        transformation=T_out,
-        error=error_out,
-        iterations=jnp.where(enough, final.i, 0),
-        has_converged=enough & (error_out < config.acceptable_mean_error),
-        n_correspondences=n_corr0,
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def icp_align(
+    source: Array,
+    source_mask: Array,
+    target: Array,
+    target_mask: Array,
+    initial_T: Array,
+    config: ICPConfig = ICPConfig(),
+) -> ICPResult:
+    """Align ``source`` onto ``target`` starting from ``initial_T``.
+
+    Args:
+      source: (M, 3) padded source points (the cropped scan), ideally in a
+        spatially coherent order (host Morton pre-sort).
+      source_mask: (M,) validity mask.
+      target: (N, 3) padded target points (the cropped map), Morton-sorted
+        by the map re-crop.
+      target_mask: (N,) validity mask.
+      initial_T: (4, 4) prior map_T_sensor.
+      config: ICPConfig (static).
+    """
+    # tile culling needs capacities divisible by the tile sizes; fall back
+    # to the dense sweep otherwise (static decision at trace time)
+    use_gated = (
+        config.gated
+        and source.shape[0] % config.tile_src == 0
+        and target.shape[0] % config.tile_tgt == 0
+    )
+    # NB: prefer device_kind detection — tunnelled TPU platforms may alias
+    # the platform name
+    on_tpu = any("TPU" in d.device_kind for d in jax.devices())
+    if use_gated and config.nn_backend == "pallas" and (
+        on_tpu or config.pallas_interpret
+    ):
+        return _icp_pallas(
+            source,
+            source_mask,
+            target,
+            target_mask,
+            initial_T,
+            config,
+            interpret=not on_tpu,
+        )
+    return _icp_xla(
+        source, source_mask, target, target_mask, initial_T, config, use_gated
     )

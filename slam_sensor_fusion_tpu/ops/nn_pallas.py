@@ -83,9 +83,11 @@ def _make_kernel(tile_src: int, tile_tgt: int):
         tgt_ref,  # (nTt, 3, TN) VMEM, rebased, invalid -> _FAR
         d2_ref,  # (nSt, 1, TM) VMEM out
         idx_ref,  # (nSt, 1, TM) VMEM out i32
+        xyz_ref,  # (nSt, 3, TM) VMEM out — matched coords, rebased
     ):
         d2_ref[...] = jnp.full_like(d2_ref, _BIG)
         idx_ref[...] = jnp.zeros_like(idx_ref)
+        xyz_ref[...] = jnp.zeros_like(xyz_ref)
         ones3 = jnp.ones((3, 1), jnp.float32)
 
         def body(p, _):
@@ -109,19 +111,84 @@ def _make_kernel(tile_src: int, tile_tgt: int):
             )  # (TN, 1) via MXU — no transpose op
             d2 = t_norm - 2.0 * cross + s_norm  # (TN, TM)
             tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TM)
-            tile_arg = (
-                jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :] + j * tile_tgt
-            )  # (1, TM)
+            arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]  # (1, TM)
+            tile_arg = arg + j * tile_tgt
+            # winner COORDINATES via one-hot contraction on the MXU — the
+            # downstream gather jnp.take(target, idx) would cost ~0.5 ms on
+            # the VPU; this is 3 x TN x TM MACs instead
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile_tgt, tile_src), 0)
+            onehot = (rows == arg).astype(jnp.float32)  # (TN, TM)
+            coords = jax.lax.dot_general(
+                t,
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3, TM)
             old_d2 = d2_ref[i]
-            old_idx = idx_ref[i]
-            better = tile_min < old_d2
+            better = tile_min < old_d2  # (1, TM)
             d2_ref[i] = jnp.where(better, tile_min, old_d2)
-            idx_ref[i] = jnp.where(better, tile_arg, old_idx)
+            idx_ref[i] = jnp.where(better, tile_arg, idx_ref[i])
+            xyz_ref[i] = jnp.where(better, coords, xyz_ref[i])
             return 0
 
         jax.lax.fori_loop(0, n_pairs_ref[0], body, 0)
 
     return kernel
+
+
+def make_pages(pts: Array, mask: Array, center: Array, tile: int) -> Array:
+    """(N, 3) + mask -> (n_tiles, 3, TILE) VMEM-friendly pages, rebased,
+    with invalid points moved to the far sentinel."""
+    n = pts.shape[0]
+    safe = jnp.where(mask[:, None], (pts - center[None, :]).astype(jnp.float32), _FAR)
+    return jnp.swapaxes(safe.reshape(n // tile, tile, 3), 1, 2)
+
+
+def pair_nn(
+    src_pages: Array,  # (nSt, 3, TM)
+    tgt_pages: Array,  # (nTt, 3, TN)
+    pair_src: Array,
+    pair_tgt: Array,
+    n_pairs: Array,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Run the pair-list kernel on prebuilt pages.
+
+    Returns PAGE-layout outputs — d2 (nSt, 1, TM), idx (nSt, 1, TM),
+    xyz (nSt, 3, TM) — with xyz the matched target coordinates in the
+    REBASED frame the pages were built in. Keeping page layout end to end
+    lets ICP's whole inner loop run without a single transpose.
+
+    The split entry point lets ICP build the (expensive-ish) pair list and
+    target pages ONCE per alignment and re-run only the kernel for every
+    lazy re-association — the pair list stays valid as long as points move
+    less than the dilation margin it was built with.
+    """
+    nSt, _, tile_src = src_pages.shape
+    _, _, tile_tgt = tgt_pages.shape
+    d2, idx, xyz = pl.pallas_call(
+        _make_kernel(tile_src, tile_tgt),
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nSt, 1, tile_src), jnp.float32),
+            jax.ShapeDtypeStruct((nSt, 1, tile_src), jnp.int32),
+            jax.ShapeDtypeStruct((nSt, 3, tile_src), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pair_src, pair_tgt, n_pairs[None], src_pages, tgt_pages)
+    return jnp.maximum(d2, 0.0), idx, xyz
 
 
 @functools.partial(
@@ -160,41 +227,10 @@ def gated_nn_pallas(
     )
     pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, max_pairs)
     overflow = v_overflow | (jnp.sum(counts) > max_pairs)
+    del nTt
 
-    srcc = jnp.where(
-        src_mask[:, None], (src - center[None, :]).astype(jnp.float32), _FAR
-    )
-    tgtc = jnp.where(
-        tgt_mask[:, None], (tgt - center[None, :]).astype(jnp.float32), _FAR
-    )
-    src_pages = jnp.swapaxes(srcc.reshape(nSt, tile_src, 3), 1, 2)
-    tgt_pages = jnp.swapaxes(tgtc.reshape(nTt, tile_tgt, 3), 1, 2)
-
-    d2, idx = pl.pallas_call(
-        _make_kernel(tile_src, tile_tgt),
-        grid=(),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nSt, 1, tile_src), jnp.float32),
-            jax.ShapeDtypeStruct((nSt, 1, tile_src), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
-        pair_src,
-        pair_tgt,
-        n_pairs[None],
-        src_pages,
-        tgt_pages,
-    )
-    d2 = jnp.where(src_mask, jnp.maximum(d2.reshape(M), 0.0), _BIG)
+    src_pages = make_pages(src, src_mask, center, tile_src)
+    tgt_pages = make_pages(tgt, tgt_mask, center, tile_tgt)
+    d2, idx, _ = pair_nn(src_pages, tgt_pages, pair_src, pair_tgt, n_pairs, interpret)
+    d2 = jnp.where(src_mask, d2.reshape(M), _BIG)
     return PallasNNResult(d2=d2, idx=idx.reshape(M), overflow=overflow)

@@ -59,6 +59,13 @@ class ICPConfig:
     tile_src: int = 256
     tile_tgt: int = 512
     max_visits: int = 24
+    #: (pallas path) the tile pair list is built ONCE per alignment with
+    #: the gate radius dilated by this margin [m] and reused across lazy
+    #: re-associations — exact as long as ICP moves points less than the
+    #: margin (per-step corrections are cm-scale against a <=0.7 m gate)
+    reassoc_margin: float = 0.5
+    #: allow the pallas path in interpret mode off-TPU (tests only)
+    pallas_interpret: bool = False
 
 
 #: rescue ICP used when brute-force first fix fails

@@ -133,3 +133,32 @@ def test_icp_respects_initial_transform(rng):
     t, tm = padded(tgt, 1024)
     res = icp_align(s, sm, t, tm, jnp.asarray(T_true), ICPConfig())
     np.testing.assert_allclose(np.asarray(res.transformation), T_true, atol=1e-3)
+
+
+def test_icp_pallas_path_matches_xla(rng):
+    """The pages-native Pallas loop (interpret mode) must produce the same
+    alignment as the XLA path on the same inputs."""
+    import dataclasses
+
+    tgt = make_scene(rng, n=450)
+    T_perturb = small_T(rng, rot=0.05, trans=0.25)
+    src = (tgt - T_perturb[:3, 3]) @ T_perturb[:3, :3]
+    src = src + rng.normal(0, 0.02, src.shape).astype(np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 512)
+
+    cfg_xla = dataclasses.replace(ICPConfig(), nn_backend="xla")
+    cfg_pal = dataclasses.replace(
+        ICPConfig(), nn_backend="pallas", pallas_interpret=True
+    )
+    r_xla = icp_align(s, sm, t, tm, jnp.asarray(T0), cfg_xla)
+    r_pal = icp_align(s, sm, t, tm, jnp.asarray(T0), cfg_pal)
+
+    assert int(r_pal.iterations) == int(r_xla.iterations)
+    assert bool(r_pal.has_converged) == bool(r_xla.has_converged)
+    assert int(r_pal.n_correspondences) == int(r_xla.n_correspondences)
+    np.testing.assert_allclose(float(r_pal.error), float(r_xla.error), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_pal.transformation), np.asarray(r_xla.transformation), atol=2e-4
+    )
