@@ -253,6 +253,61 @@ def make_sequence(
     )
 
 
+def make_imu(
+    poses: np.ndarray,
+    scan_dt: float = 0.1,
+    imu_rate: int = 10,
+    gyro_bias: np.ndarray | None = None,
+    accel_bias: np.ndarray | None = None,
+    gyro_noise: float = 0.002,
+    accel_noise: float = 0.02,
+    seed: int = 0,
+    gravity: float = 9.80665,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Synthesize body-frame IMU packets between scan poses.
+
+    Returns (gyro (T-1, K, 3), accel (T-1, K, 3), dt (T-1, K)) with K =
+    imu_rate samples per inter-scan interval. Angular velocity comes from
+    the relative rotation log; the accelerometer reports specific force
+    f = R^T (a_world - g_world) with g_world = (0, 0, -gravity), plus bias
+    and white noise. Packet k covers poses[k] -> poses[k+1].
+    """
+    from scipy.spatial.transform import Rotation as ScipyR
+
+    rng = np.random.default_rng(seed)
+    T = len(poses)
+    K = imu_rate
+    dt = scan_dt / K
+    gyro_bias = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias)
+    accel_bias = np.zeros(3) if accel_bias is None else np.asarray(accel_bias)
+    g_w = np.array([0.0, 0.0, -gravity])
+
+    # world-frame accelerations by central differences of position
+    pos = poses[:, :3, 3].astype(np.float64)
+    vel = np.gradient(pos, scan_dt, axis=0)
+    acc = np.gradient(vel, scan_dt, axis=0)
+
+    gyro = np.zeros((T - 1, K, 3))
+    accel = np.zeros((T - 1, K, 3))
+    dts = np.full((T - 1, K), dt)
+    for k in range(T - 1):
+        R0 = poses[k, :3, :3].astype(np.float64)
+        R1 = poses[k + 1, :3, :3].astype(np.float64)
+        w_body = ScipyR.from_matrix(R0.T @ R1).as_rotvec() / scan_dt
+        for j in range(K):
+            alpha = (j + 0.5) / K
+            Rj = R0 @ ScipyR.from_rotvec(w_body * alpha * scan_dt).as_matrix()
+            a_w = (1 - alpha) * acc[k] + alpha * acc[min(k + 1, T - 1)]
+            f_body = Rj.T @ (a_w - g_w)
+            gyro[k, j] = w_body + gyro_bias + rng.normal(0, gyro_noise, 3)
+            accel[k, j] = f_body + accel_bias + rng.normal(0, accel_noise, 3)
+    return (
+        gyro.astype(np.float32),
+        accel.astype(np.float32),
+        dts.astype(np.float32),
+    )
+
+
 def make_mapping_logs(
     seq: SensorSequence, standstill_frames: int = 12
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,132 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from slam_sensor_fusion_tpu.models import ekf, lio
+from slam_sensor_fusion_tpu.ops.deskew import deskew, se3_log
+from slam_sensor_fusion_tpu.ops import geometry
+from slam_sensor_fusion_tpu.ops.point_to_plane import PointToPlaneConfig
+from slam_sensor_fusion_tpu.utils import synthetic as syn
+
+
+SMALL_LIO = lio.LIOConfig(
+    scan_capacity=4096,
+    window=8,
+    slot_points=2048,
+    refresh_every=4,
+    p2p=PointToPlaneConfig(nn_backend="xla", num_iterations=4, normal_voxel=1.0),
+)
+
+
+def pad_scan(pts, cap):
+    buf = np.zeros((cap, 3), np.float32)
+    n = min(len(pts), cap)
+    buf[:n] = pts[:n]
+    m = np.zeros(cap, bool)
+    m[:n] = True
+    return jnp.asarray(buf), jnp.asarray(m)
+
+
+def test_se3_log_exp_roundtrip(rng):
+    xi = rng.normal(0, 0.3, 6).astype(np.float32)
+    T = geometry.se3_exp(jnp.asarray(xi))
+    xi_back = np.asarray(se3_log(T))
+    np.testing.assert_allclose(xi_back, xi, atol=1e-5)
+
+
+def test_deskew_recovers_static_points(rng):
+    # points measured from a moving platform, then deskewed, must match
+    # the true end-of-sweep geometry
+    world_pts = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    xi = np.array([0.2, -0.1, 0.0, 0.0, 0.0, 0.05], np.float32)  # frame twist
+    tau = rng.uniform(0, 1, 500).astype(np.float32)
+    T_end = geometry.se3_exp(jnp.asarray(xi))
+    # pose at fraction tau: T(tau) = exp((tau-1) xi) T_end  (ends at T_end)
+    T_tau = geometry.se3_exp(jnp.asarray((tau[:, None] - 1.0) * xi)) @ T_end
+    # body-frame measurement at time tau: p_body = T(tau)^-1 world
+    R = np.asarray(T_tau[:, :3, :3])
+    t = np.asarray(T_tau[:, :3, 3])
+    body = np.einsum("nji,nj->ni", R, world_pts - t)
+    fixed = deskew(jnp.asarray(body), jnp.asarray(tau), jnp.asarray(xi))
+    # after deskewing, all points are in the END frame:
+    expect = np.einsum("ji,nj->ni", np.asarray(T_end)[:3, :3],
+                       world_pts - np.asarray(T_end)[:3, 3])
+    np.testing.assert_allclose(np.asarray(fixed), expect, atol=1e-4)
+
+
+def test_lio_tracks_trajectory(rng):
+    n_frames = 12
+    world = syn.make_world(rng, extent=60.0, n_buildings=20, n_poles=50,
+                           points_per_m2=24.0)
+    poses = syn.make_trajectory(n_frames, speed_per_frame=0.15)
+    gyro, accel, dts = syn.make_imu(poses, gyro_noise=0.0005, accel_noise=0.005)
+
+    scans = [
+        syn.render_scan(world, poses[i], rng, max_points=4000, max_range=25.0)
+        for i in range(n_frames)
+    ]
+    s0, m0 = pad_scan(scans[0], SMALL_LIO.scan_capacity)
+    state = lio.init_state(SMALL_LIO, s0, m0, jnp.asarray(poses[0]))
+    # give the EKF the true initial velocity so the first prior is sane
+    v0 = (poses[1, :3, 3] - poses[0, :3, 3]) / 0.1
+    state = state._replace(
+        ekf_state=state.ekf_state._replace(v=jnp.asarray(v0, jnp.float32))
+    )
+
+    errs = []
+    for k in range(1, n_frames):
+        sp, sm = pad_scan(scans[k], SMALL_LIO.scan_capacity)
+        state, out = lio.lio_step(
+            state,
+            sp,
+            sm,
+            jnp.asarray(gyro[k - 1]),
+            jnp.asarray(accel[k - 1]),
+            jnp.asarray(dts[k - 1]),
+            jnp.asarray(poses[k, :3, 3]),  # GPS at truth with 1 m^2 var
+            jnp.float32(1.0),
+            jnp.bool_(True),
+            SMALL_LIO,
+        )
+        errs.append(
+            np.linalg.norm(np.asarray(out.world_T_body)[:3, 3] - poses[k, :3, 3])
+        )
+    errs = np.asarray(errs)
+    assert errs[-1] < 0.2, errs
+    assert errs.mean() < 0.15, errs
+    assert int(out.n_correspondences) > 1000
+
+
+def test_lio_chunk_matches_stepwise(rng):
+    n_frames = 7
+    world = syn.make_world(rng, extent=50.0, n_buildings=15, n_poles=40,
+                           points_per_m2=24.0)
+    poses = syn.make_trajectory(n_frames, speed_per_frame=0.15)
+    gyro, accel, dts = syn.make_imu(poses, gyro_noise=0.0, accel_noise=0.0)
+    scans = [
+        syn.render_scan(world, poses[i], rng, max_points=3000, max_range=25.0)
+        for i in range(n_frames)
+    ]
+    s0, m0 = pad_scan(scans[0], SMALL_LIO.scan_capacity)
+    st_a = lio.init_state(SMALL_LIO, s0, m0, jnp.asarray(poses[0]))
+    st_b = st_a
+
+    sp = jnp.stack([pad_scan(s, SMALL_LIO.scan_capacity)[0] for s in scans[1:]])
+    sm = jnp.stack([pad_scan(s, SMALL_LIO.scan_capacity)[1] for s in scans[1:]])
+    gp = jnp.asarray(poses[1:, :3, 3])
+    gv = jnp.full(n_frames - 1, 1.0, jnp.float32)
+    gok = jnp.ones(n_frames - 1, bool)
+
+    st_a, outs = lio.run_lio_chunk(
+        st_a, sp, sm, jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dts),
+        gp, gv, gok, SMALL_LIO,
+    )
+    for k in range(n_frames - 1):
+        st_b, ob = lio.lio_step(
+            st_b, sp[k], sm[k], jnp.asarray(gyro[k]), jnp.asarray(accel[k]),
+            jnp.asarray(dts[k]), gp[k], gv[k], gok[k], SMALL_LIO,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs.world_T_body[-1]), np.asarray(ob.world_T_body), atol=1e-5
+    )
+    jax.block_until_ready(st_a)
