@@ -40,10 +40,18 @@ def main() -> None:
     from slam_sensor_fusion_tpu.utils import synthetic as syn
     from slam_sensor_fusion_tpu.utils.config import CloudCapacity, LocalizationConfig
 
+    import dataclasses
+
+    from slam_sensor_fusion_tpu.utils.config import ICPConfig
+
     n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
     chunk = int(os.environ.get("BENCH_CHUNK", "256"))
+    # "fast" = the native fused-kernel ICP (fresh correspondences);
+    # "parity" = the reference's exact lazy-re-association control flow
+    icp_mode = os.environ.get("BENCH_ICP_MODE", "fast")
 
     config = LocalizationConfig(
+        icp=dataclasses.replace(ICPConfig(), mode=icp_mode),
         capacity=CloudCapacity(
             scan=32768,
             cropped_scan=16384,

@@ -45,6 +45,7 @@ from slam_sensor_fusion_tpu.ops import morton
 from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
 from slam_sensor_fusion_tpu.ops.brute_force import brute_force_align
 from slam_sensor_fusion_tpu.ops.icp import ICPResult, icp_align
+from slam_sensor_fusion_tpu.ops.icp_fused import icp_align_fused
 from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
 
 Array = jax.Array
@@ -181,7 +182,8 @@ def _fine(
     filter_state = sf.add_pose(state.filter_state, prior, config.filter)
     prior = sf.apply_gate(filter_state, state.map_T_sensor, prior, config.filter)
 
-    icp_result: ICPResult = icp_align(
+    icp_fn = icp_align_fused if config.icp.mode == "fast" else icp_align
+    icp_result: ICPResult = icp_fn(
         cropped_scan.points,
         cropped_scan.mask,
         cropped_map.points,

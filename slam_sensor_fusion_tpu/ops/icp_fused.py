@@ -1,0 +1,354 @@
+"""Whole-ICP fused Pallas kernel — the native-mode fast registration path.
+
+The parity ICP (ops/icp.py) reproduces the reference's lazy-re-association
+control flow, which costs one XLA while-iteration of op-dispatch overhead
+per ICP step (~0.8 ms/step measured on v5e — dominated by op issue, not
+compute). This kernel runs the ENTIRE alignment in one `pallas_call`:
+
+  per iteration (all inside VMEM):
+    1. associate: loop the culled tile-pair list; transform each source
+       tile by the CURRENT (R, t) on the fly and keep the running
+       (min d2, target coords) per source point;
+    2. reduce: one pass over source tiles accumulating the gated weighted
+       moments (W, sum s, sum t, sum s t^T, sum |s'-t|) — all matmuls and
+       sublane reductions;
+    3. solve: Kabsch step from the moments with a closed-form-adjugate
+       NEWTON POLAR iteration (X <- (X + X^-T)/2, quadratic convergence)
+       instead of an SVD custom call;
+    4. early-exit predication: iterations after convergence are skipped
+       with `pl.when` (the grid still steps but does no work).
+
+Semantics = "fresh-correspondence" point-to-point ICP: correspondences are
+re-found every iteration (the classical algorithm). This is intentionally
+NOT the reference's lazy variant — it converges at least as fast per
+iteration and is the engine's native mode; parity mode remains available
+in ops/icp.py. Stopping rules mirror the reference's thresholds: stop when
+the mean correspondence error drops below `acceptable_mean_error` or
+changes by less than `transformation_epsilon`.
+
+The Newton polar solve yields the same rotation as SVD-based Kabsch for
+det(H) > 0 (always, for non-degenerate correspondence sets); the
+determinant is exported for observability.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slam_sensor_fusion_tpu.ops import geometry
+from slam_sensor_fusion_tpu.ops.nn_gated import build_visit_lists
+from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
+from slam_sensor_fusion_tpu.ops.icp import ICPResult, _icp_xla
+from slam_sensor_fusion_tpu.utils.config import ICPConfig
+
+Array = jax.Array
+
+_BIG = 3.0e38
+
+
+def _adjugate_transpose_over_det(X):
+    """X^{-T} for 3x3 via the adjugate (register math, no solver)."""
+    a, b, c = X[0, 0], X[0, 1], X[0, 2]
+    d, e, f = X[1, 0], X[1, 1], X[1, 2]
+    g, h, i = X[2, 0], X[2, 1], X[2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    D = c * h - b * i
+    E = a * i - c * g
+    F = b * g - a * h
+    G = b * f - c * e
+    H = c * d - a * f
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    # cofactor matrix (= adjugate^T) over det is exactly X^{-T}
+    cof = jnp.array([[A, B, C], [D, E, F], [G, H, I]])
+    return cof / det, det
+
+
+def _mv3(M, v):
+    """3x3 @ 3 as scalar math — Mosaic rejects tiny vector reductions."""
+    return jnp.stack(
+        [
+            M[0, 0] * v[0] + M[0, 1] * v[1] + M[0, 2] * v[2],
+            M[1, 0] * v[0] + M[1, 1] * v[1] + M[1, 2] * v[2],
+            M[2, 0] * v[0] + M[2, 1] * v[1] + M[2, 2] * v[2],
+        ]
+    )
+
+
+def _mm3(A, B):
+    """3x3 @ 3x3 as scalar math."""
+    rows = []
+    for r in range(3):
+        rows.append(
+            jnp.stack(
+                [
+                    A[r, 0] * B[0, c] + A[r, 1] * B[1, c] + A[r, 2] * B[2, c]
+                    for c in range(3)
+                ]
+            )
+        )
+    return jnp.stack(rows)
+
+
+def _newton_polar(H, steps: int = 8):
+    """Orthogonal polar factor of a 3x3 matrix by Newton iteration."""
+    # scale for convergence: X0 = H / ||H||_F
+    X = H / jnp.sqrt(jnp.maximum(jnp.sum(H * H), 1e-20))
+
+    def body(_, X):
+        X_invT, _ = _adjugate_transpose_over_det(X)
+        return 0.5 * (X + X_invT)
+
+    return jax.lax.fori_loop(0, steps, body, X)
+
+
+def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
+    gate = config.max_correspondence_dist_sq
+    num_iterations = config.num_iterations
+
+    def kernel(
+        pair_src_ref,  # (max_pairs,) SMEM
+        pair_tgt_ref,
+        n_pairs_ref,  # (1,) SMEM
+        T0_ref,  # (4, 4) VMEM — rebased initial transform
+        src_pages_ref,  # (nSt, 3, TM) rebased, invalid -> FAR
+        tgt_pages_ref,  # (nTt, 3, TN) rebased, invalid -> FAR
+        T_out_ref,  # (4, 4) VMEM
+        stats_ref,  # (1, 128) VMEM: [err, iters, ncorr, detH, ...]
+        best_d2_ref,  # scratch (nSt, 1, TM)
+        best_xyz_ref,  # scratch (nSt, 3, TM)
+    ):
+        nSt = src_pages_ref.shape[0]
+        ones3 = jnp.ones((3, 1), jnp.float32)
+
+        def associate(R, t):
+            """Fill best_d2/best_xyz for the current transform."""
+            best_d2_ref[...] = jnp.full_like(best_d2_ref, _BIG)
+            best_xyz_ref[...] = jnp.zeros_like(best_xyz_ref)
+
+            def pair_body(p, _):
+                i = pair_src_ref[p]
+                j = pair_tgt_ref[p]
+                s = R @ src_pages_ref[i] + t[:, None]  # (3, TM)
+                tt = tgt_pages_ref[j]  # (3, TN)
+                cross = jax.lax.dot_general(
+                    tt, s, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (TN, TM)
+                s_norm = jnp.sum(s * s, axis=0, keepdims=True)
+                t_norm = jax.lax.dot_general(
+                    tt * tt, ones3, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d2 = t_norm - 2.0 * cross + s_norm
+                tile_min = jnp.min(d2, axis=0, keepdims=True)
+                arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_tgt, tile_src), 0
+                )
+                onehot = (rows == arg).astype(jnp.float32)
+                coords = jax.lax.dot_general(
+                    tt, onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                old = best_d2_ref[i]
+                better = tile_min < old
+                best_d2_ref[i] = jnp.where(better, tile_min, old)
+                best_xyz_ref[i] = jnp.where(better, coords, best_xyz_ref[i])
+                return 0
+
+            jax.lax.fori_loop(0, n_pairs_ref[0], pair_body, 0)
+
+        def reduce_moments(R, t):
+            """Gated weighted moments over all source tiles."""
+
+            def tile_body(i, acc):
+                W, Ss, St, Mst, Eabs = acc
+                s = R @ src_pages_ref[i] + t[:, None]  # (3, TM)
+                d2 = best_d2_ref[i]  # (1, TM)
+                w = (d2 < gate).astype(jnp.float32)  # (1, TM)
+                tb = best_xyz_ref[i]  # (3, TM)
+                sw = s * w
+                W = W + jnp.sum(w)
+                Ss = Ss + jnp.sum(sw, axis=1)
+                St = St + jnp.sum(tb * w, axis=1)
+                Mst = Mst + jax.lax.dot_general(
+                    sw, tb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3, 3) = sum w s t^T
+                diff = s - tb
+                Eabs = Eabs + jnp.sum(
+                    w * jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=0), 0.0))
+                )
+                return (W, Ss, St, Mst, Eabs)
+
+            init = (
+                jnp.float32(0.0),
+                jnp.zeros(3, jnp.float32),
+                jnp.zeros(3, jnp.float32),
+                jnp.zeros((3, 3), jnp.float32),
+                jnp.float32(0.0),
+            )
+            return jax.lax.fori_loop(0, nSt, tile_body, init)
+
+        T0 = T0_ref[...]
+        R0, t0 = T0[:3, :3], T0[:3, 3]
+
+        def iter_body(it, carry):
+            R, t, err_prev, n_corr, iters, live, det_min = carry
+
+            def do(R=R, t=t):
+                associate(R, t)
+                W, Ss, St, Mst, Eabs = reduce_moments(R, t)
+                Wc = jnp.maximum(W, 1.0)
+                # starvation guard: with too few matches the step is
+                # meaningless; report a huge error so the loop stops and
+                # the caller's min_correspondences abort kicks in
+                err = jnp.where(
+                    W >= config.min_correspondences, Eabs / Wc, jnp.float32(_BIG)
+                )
+                c_s = Ss / Wc
+                c_t = St / Wc
+                Hm = Mst - W * jnp.outer(c_s, c_t)  # sum w (s-cs)(t-ct)^T
+                # Kabsch: R_step = polar(H^T) (maps source onto target)
+                R_step = _newton_polar(Hm.T)
+                _, detH = _adjugate_transpose_over_det(Hm)
+                t_step = c_t - _mv3(R_step, c_s)
+                stop = (err < config.acceptable_mean_error) | (
+                    jnp.abs(err_prev - err) < config.transformation_epsilon
+                )
+                R_new = jnp.where(stop, R, _mm3(R_step, R))
+                t_new = jnp.where(stop, t, _mv3(R_step, t) + t_step)
+                return (
+                    R_new,
+                    t_new,
+                    err,
+                    W.astype(jnp.int32),
+                    jnp.where(stop, iters, iters + 1),
+                    ~stop,
+                    jnp.minimum(det_min, detH),
+                )
+
+            def skip():
+                return (R, t, err_prev, n_corr, iters, live, det_min)
+
+            return jax.lax.cond(live, do, skip)
+
+        carry0 = (
+            R0,
+            t0,
+            jnp.float32(_BIG),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.bool_(True),
+            jnp.float32(_BIG),
+        )
+        R, t, err, n_corr, iters, live, det_min = jax.lax.fori_loop(
+            0, num_iterations, iter_body, carry0
+        )
+
+        # assemble without .at[].set (scatter has no Mosaic lowering) and
+        # without array literals (pallas rejects captured constants)
+        top = jnp.concatenate([R, t[:, None]], axis=1)  # (3, 4)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+        bottom = (cols == 3).astype(jnp.float32)
+        T_out_ref[...] = jnp.concatenate([top, bottom], axis=0)
+        packed = jnp.stack(
+            [err, iters.astype(jnp.float32), n_corr.astype(jnp.float32), det_min]
+        )
+        stats_ref[...] = jnp.concatenate(
+            [packed, jnp.zeros(124, jnp.float32)]
+        )[None, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def icp_align_fused(
+    source: Array,
+    source_mask: Array,
+    target: Array,
+    target_mask: Array,
+    initial_T: Array,
+    config: ICPConfig = ICPConfig(),
+    interpret: bool = False,
+) -> ICPResult:
+    """Fresh-correspondence point-to-point ICP, fully fused on TPU.
+
+    Shapes must be tile-divisible; otherwise falls back to the XLA path.
+    """
+    M, N = source.shape[0], target.shape[0]
+    TM, TN = config.tile_src, config.tile_tgt
+    if M % TM or N % TN:
+        return _icp_xla(
+            source, source_mask, target, target_mask, initial_T, config, False
+        )
+    nSt = M // TM
+    center = initial_T[:3, 3]
+    gate = config.max_correspondence_dist_sq
+
+    pts0 = geometry.transform_points(initial_T, source)
+    search_r2 = (math.sqrt(gate) + config.reassoc_margin) ** 2
+    visits, counts, _ = build_visit_lists(
+        pts0, source_mask, target, target_mask, search_r2, TM, TN,
+        config.max_visits,
+    )
+    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, nSt * 8)
+
+    # note: SOURCE pages stay untransformed/unrebased; the kernel applies
+    # the full current transform. Rebase happens through T (conjugation).
+    # Distinct +/- sentinels keep invalid source points from "matching"
+    # invalid target points at distance zero.
+    src_pages = make_pages(source, source_mask, center * 0, TM, sentinel=1.0e7)
+    tgt_pages = make_pages(target, target_mask, center, TN, sentinel=-1.0e7)
+    shift = geometry.make_T(jnp.eye(3, dtype=jnp.float32), center)
+    unshift = geometry.make_T(jnp.eye(3, dtype=jnp.float32), -center)
+    T0_rebased = unshift @ initial_T
+
+    T_out, stats = pl.pallas_call(
+        _make_fused_kernel(TM, TN, config),
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, 4), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nSt, 1, TM), jnp.float32),
+            pltpu.VMEM((nSt, 3, TM), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pair_src, pair_tgt, n_pairs[None], T0_rebased, src_pages, tgt_pages)
+
+    err = stats[0, 0]
+    iters = stats[0, 1].astype(jnp.int32)
+    n_corr = stats[0, 2].astype(jnp.int32)
+    enough = n_corr >= config.min_correspondences
+    T_final = shift @ T_out
+    return ICPResult(
+        transformation=jnp.where(enough, T_final, initial_T),
+        error=jnp.where(enough, err, jnp.float32(1e6)),
+        iterations=jnp.where(enough, iters, 0),
+        has_converged=enough & (err < config.acceptable_mean_error),
+        n_correspondences=n_corr,
+    )

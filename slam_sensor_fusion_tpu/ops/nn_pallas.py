@@ -136,11 +136,21 @@ def _make_kernel(tile_src: int, tile_tgt: int):
     return kernel
 
 
-def make_pages(pts: Array, mask: Array, center: Array, tile: int) -> Array:
+def make_pages(
+    pts: Array, mask: Array, center: Array, tile: int, sentinel: float = _FAR
+) -> Array:
     """(N, 3) + mask -> (n_tiles, 3, TILE) VMEM-friendly pages, rebased,
-    with invalid points moved to the far sentinel."""
+    with invalid points moved to the far sentinel.
+
+    IMPORTANT: give source and target DIFFERENT sentinels (e.g. +_FAR and
+    -_FAR) when downstream logic gates matches only by distance — two
+    invalid points at the SAME sentinel location would otherwise "match"
+    at distance zero.
+    """
     n = pts.shape[0]
-    safe = jnp.where(mask[:, None], (pts - center[None, :]).astype(jnp.float32), _FAR)
+    safe = jnp.where(
+        mask[:, None], (pts - center[None, :]).astype(jnp.float32), sentinel
+    )
     return jnp.swapaxes(safe.reshape(n // tile, tile, 3), 1, 2)
 
 

@@ -66,6 +66,11 @@ class ICPConfig:
     reassoc_margin: float = 0.5
     #: allow the pallas path in interpret mode off-TPU (tests only)
     pallas_interpret: bool = False
+    #: "parity" = the reference's exact lazy-re-association control flow
+    #: (ops/icp.py); "fast" = fresh-correspondence whole-ICP fused kernel
+    #: (ops/icp_fused.py) — the native performance mode
+    mode: str = "parity"
+
 
 
 #: rescue ICP used when brute-force first fix fails

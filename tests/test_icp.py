@@ -162,3 +162,44 @@ def test_icp_pallas_path_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(r_pal.transformation), np.asarray(r_xla.transformation), atol=2e-4
     )
+
+
+def test_icp_fused_converges_like_parity(rng):
+    """Fast mode (fresh correspondences, fused kernel in interpret mode)
+    must reach the same alignment as parity mode within tolerance."""
+    import dataclasses
+    from slam_sensor_fusion_tpu.ops.icp_fused import icp_align_fused
+
+    tgt = make_scene(rng, n=450)
+    T_perturb = small_T(rng, rot=0.05, trans=0.25)
+    src = (tgt - T_perturb[:3, 3]) @ T_perturb[:3, :3]
+    src = src + rng.normal(0, 0.01, src.shape).astype(np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 512)
+
+    cfg = dataclasses.replace(ICPConfig(), nn_backend="xla")
+    r_parity = icp_align(s, sm, t, tm, jnp.asarray(T0), cfg)
+    r_fast = icp_align_fused(s, sm, t, tm, jnp.asarray(T0), cfg, interpret=True)
+
+    # fast mode must recover the true perturbation at least as well as
+    # parity mode (fresh correspondences converge deeper per iteration)
+    np.testing.assert_allclose(
+        np.asarray(r_fast.transformation), T_perturb, atol=3e-2
+    )
+    assert int(r_fast.n_correspondences) > 300
+    assert float(r_fast.error) <= float(r_parity.error) + 1e-4
+    assert int(r_fast.iterations) <= int(r_parity.iterations)
+
+
+def test_icp_fused_abort_on_starvation(rng):
+    from slam_sensor_fusion_tpu.ops.icp_fused import icp_align_fused
+
+    src = rng.uniform(0, 1, (256, 3)).astype(np.float32)
+    tgt = src + 100.0
+    s, sm = padded(src, 256)
+    t, tm = padded(tgt, 512)
+    T0 = jnp.eye(4)
+    res = icp_align_fused(s, sm, t, tm, T0, ICPConfig(), interpret=True)
+    np.testing.assert_array_equal(np.asarray(res.transformation), np.eye(4))
+    assert not bool(res.has_converged)
