@@ -111,6 +111,13 @@ def _newton_polar(H, steps: int = 8):
     return jax.lax.fori_loop(0, steps, body, X)
 
 
+def _sum_all(x2d):
+    """Full reduction of a 2-D array via staged axis sums (Mosaic rejects
+    some direct multi-dim reductions to scalar)."""
+    col = jnp.sum(x2d, axis=1, keepdims=True)  # (n, 1)
+    return jnp.sum(col, axis=0, keepdims=True)[0, 0]
+
+
 def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
     gate = config.max_correspondence_dist_sq
     num_iterations = config.num_iterations
@@ -169,36 +176,53 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
             jax.lax.fori_loop(0, n_pairs_ref[0], pair_body, 0)
 
         def reduce_moments(R, t):
-            """Gated weighted moments over all source tiles."""
+            """Gated weighted moments over ALL pages in ~25 full-width VPU
+            reductions (a per-tile loop would issue nSt x 5 small ops)."""
+            s_all = src_pages_ref[...]  # (nSt, 3, TM)
+            sx, sy, sz = s_all[:, 0, :], s_all[:, 1, :], s_all[:, 2, :]
+            spx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
+            spy = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
+            spz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
+            d2 = best_d2_ref[...][:, 0, :]  # (nSt, TM)
+            w = (d2 < gate).astype(jnp.float32)
+            tb = best_xyz_ref[...]
+            tx, ty, tz = tb[:, 0, :], tb[:, 1, :], tb[:, 2, :]
 
-            def tile_body(i, acc):
-                W, Ss, St, Mst, Eabs = acc
-                s = R @ src_pages_ref[i] + t[:, None]  # (3, TM)
-                d2 = best_d2_ref[i]  # (1, TM)
-                w = (d2 < gate).astype(jnp.float32)  # (1, TM)
-                tb = best_xyz_ref[i]  # (3, TM)
-                sw = s * w
-                W = W + jnp.sum(w)
-                Ss = Ss + jnp.sum(sw, axis=1)
-                St = St + jnp.sum(tb * w, axis=1)
-                Mst = Mst + jax.lax.dot_general(
-                    sw, tb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (3, 3) = sum w s t^T
-                diff = s - tb
-                Eabs = Eabs + jnp.sum(
-                    w * jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=0), 0.0))
-                )
-                return (W, Ss, St, Mst, Eabs)
-
-            init = (
-                jnp.float32(0.0),
-                jnp.zeros(3, jnp.float32),
-                jnp.zeros(3, jnp.float32),
-                jnp.zeros((3, 3), jnp.float32),
-                jnp.float32(0.0),
+            W = _sum_all(w)
+            Ss = jnp.stack(
+                [_sum_all(spx * w), _sum_all(spy * w), _sum_all(spz * w)]
             )
-            return jax.lax.fori_loop(0, nSt, tile_body, init)
+            St = jnp.stack(
+                [_sum_all(tx * w), _sum_all(ty * w), _sum_all(tz * w)]
+            )
+            Mst = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            _sum_all(spx * w * tx),
+                            _sum_all(spx * w * ty),
+                            _sum_all(spx * w * tz),
+                        ]
+                    ),
+                    jnp.stack(
+                        [
+                            _sum_all(spy * w * tx),
+                            _sum_all(spy * w * ty),
+                            _sum_all(spy * w * tz),
+                        ]
+                    ),
+                    jnp.stack(
+                        [
+                            _sum_all(spz * w * tx),
+                            _sum_all(spz * w * ty),
+                            _sum_all(spz * w * tz),
+                        ]
+                    ),
+                ]
+            )
+            dx, dy, dz = spx - tx, spy - ty, spz - tz
+            Eabs = _sum_all(w * jnp.sqrt(dx * dx + dy * dy + dz * dz))
+            return W, Ss, St, Mst, Eabs
 
         T0 = T0_ref[...]
         R0, t0 = T0[:3, :3], T0[:3, 3]
