@@ -100,15 +100,25 @@ def _mm3(A, B):
 
 
 def _newton_polar(H, steps: int = 8):
-    """Orthogonal polar factor of a 3x3 matrix by Newton iteration."""
-    # scale for convergence: X0 = H / ||H||_F
-    X = H / jnp.sqrt(jnp.maximum(jnp.sum(H * H), 1e-20))
+    """Orthogonal polar factor of a 3x3 matrix by Newton iteration.
+
+    Returns (R, ok). Unlike SVD, Newton diverges on (near-)singular
+    matrices — a rank-deficient moment matrix (all correspondences on one
+    plane/line) trips `ok=False` and callers must skip the step.
+    """
+    X0 = H / jnp.sqrt(jnp.maximum(jnp.sum(H * H), 1e-20))
+    _, det0 = _adjugate_transpose_over_det(X0)
+    ok = jnp.abs(det0) > 1e-6
 
     def body(_, X):
-        X_invT, _ = _adjugate_transpose_over_det(X)
-        return 0.5 * (X + X_invT)
+        X_invT, det = _adjugate_transpose_over_det(X)
+        # freeze when the iterate degenerates instead of spraying NaNs
+        good = jnp.abs(det) > 1e-12
+        return jnp.where(good, 0.5 * (X + X_invT), X)
 
-    return jax.lax.fori_loop(0, steps, body, X)
+    R = jax.lax.fori_loop(0, steps, body, X0)
+    finite = jnp.all(jnp.isfinite(R))
+    return R, ok & finite
 
 
 def _sum_all(x2d):
@@ -244,11 +254,13 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
                 c_t = St / Wc
                 Hm = Mst - W * jnp.outer(c_s, c_t)  # sum w (s-cs)(t-ct)^T
                 # Kabsch: R_step = polar(H^T) (maps source onto target)
-                R_step = _newton_polar(Hm.T)
+                R_step, polar_ok = _newton_polar(Hm.T)
                 _, detH = _adjugate_transpose_over_det(Hm)
                 t_step = c_t - _mv3(R_step, c_s)
-                stop = (err < config.acceptable_mean_error) | (
-                    jnp.abs(err_prev - err) < config.transformation_epsilon
+                stop = (
+                    (err < config.acceptable_mean_error)
+                    | (jnp.abs(err_prev - err) < config.transformation_epsilon)
+                    | ~polar_ok  # degenerate moments: no usable step
                 )
                 R_new = jnp.where(stop, R, _mm3(R_step, R))
                 t_new = jnp.where(stop, t, _mv3(R_step, t) + t_step)
