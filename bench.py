@@ -27,6 +27,14 @@ def log(*a):
 
 
 def main() -> None:
+    # persistent compile cache: the heavy scan program compiles once per
+    # configuration (~1-8 min on the tunnelled compiler), then loads in
+    # seconds on every subsequent bench run
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+
     import jax
     import jax.numpy as jnp
 
@@ -44,8 +52,10 @@ def main() -> None:
 
     from slam_sensor_fusion_tpu.utils.config import ICPConfig
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "256"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "1024"))
+    # default: the whole sequence in ONE device program — per-call dispatch
+    # costs ~0.5 s through the tunnel and would otherwise dominate
+    chunk = int(os.environ.get("BENCH_CHUNK", str(n_frames - 1)))
     # "fast" = the native fused-kernel ICP (fresh correspondences);
     # "parity" = the reference's exact lazy-re-association control flow
     icp_mode = os.environ.get("BENCH_ICP_MODE", "fast")

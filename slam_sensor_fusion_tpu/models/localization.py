@@ -112,6 +112,7 @@ def _preprocess(
     scan_mask: Array,
     map_cloud: cl.Cloud,
     config: LocalizationConfig,
+    valid: Array | None = None,
 ) -> tuple[cl.Cloud, cl.Cloud, Array, Array]:
     """Scan subsample + crop, and predicated map re-crop
     (localization_node.cpp:285-305).
@@ -131,6 +132,10 @@ def _preprocess(
     moved = jnp.linalg.norm(sensor_T_ref[:3, 3]) > config.ref_frame_distance
     empty = state.cropped_map.count() == 0
     need = moved | empty
+    if valid is not None:
+        # invalid (skipped) frames must not touch the crop: gating here also
+        # lets step() skip the expensive valid-select over the map buffer
+        need = need & valid
 
     def recrop():
         mask = cl.crop_radius(
@@ -227,7 +232,7 @@ def step(
 ) -> tuple[PipelineState, StepOutput]:
     """One full steady-state localization callback as a single program."""
     cropped_scan, cropped_map, map_T_ref, recropped = _preprocess(
-        state, scan_points, scan_mask, map_cloud, config
+        state, scan_points, scan_mask, map_cloud, config, valid
     )
     new_state, out = _fine(
         state,
@@ -241,10 +246,15 @@ def step(
         gps_cov_trace,
         config,
     )
-    # invalid frames (GPS altitude < 0) are full no-ops (:269-276)
-    new_state = jax.tree.map(
-        lambda new, old: jnp.where(valid, new, old), new_state, state
+    # invalid frames (GPS altitude < 0) are full no-ops (:269-276).
+    # cropped_map is already valid-gated inside _preprocess, so the (1 MB)
+    # select over the map buffer is skipped here.
+    small_new = new_state._replace(cropped_map=state.cropped_map)
+    small_old = state
+    gated = jax.tree.map(
+        lambda new, old: jnp.where(valid, new, old), small_new, small_old
     )
+    new_state = gated._replace(cropped_map=new_state.cropped_map)
     out = jax.tree.map(lambda x: jnp.where(valid, x, jnp.zeros_like(x)), out)
     out = out._replace(
         map_T_sensor=jnp.where(valid, out.map_T_sensor, state.map_T_sensor)
