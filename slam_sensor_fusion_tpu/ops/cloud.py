@@ -92,6 +92,29 @@ def crop_radius(cloud: Cloud, center: Array, radius: float) -> Cloud:
     return Cloud(cloud.points, keep)
 
 
+def crop_box(cloud: Cloud, min_bound: Array, max_bound: Array) -> Cloud:
+    """Axis-aligned box crop (the Python twin's scan filter,
+    localization_node.py:105-115)."""
+    p = cloud.points
+    keep = (
+        jnp.all(p >= min_bound[None, :], axis=-1)
+        & jnp.all(p <= max_bound[None, :], axis=-1)
+        & cloud.mask
+    )
+    return Cloud(cloud.points, keep)
+
+
+def crop_obb(cloud: Cloud, T: Array, extent: Array) -> Cloud:
+    """Oriented-bounding-box crop: keep points within +-extent/2 of T's
+    origin along T's axes (open3d OrientedBoundingBox crop,
+    localization_node.py:222-225)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    local = (cloud.points - t[None, :]) @ R  # R^T applied rowwise
+    keep = jnp.all(jnp.abs(local) <= extent[None, :] / 2.0, axis=-1) & cloud.mask
+    return Cloud(cloud.points, keep)
+
+
 def remove_floor(cloud: Cloud) -> Cloud:
     """Drop points with z <= 0 (point_cloud_processing.hpp:76-92)."""
     keep = (cloud.points[:, 2] > 0.0) & cloud.mask
