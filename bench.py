@@ -62,8 +62,10 @@ def main() -> None:
 
     config = LocalizationConfig(
         icp=dataclasses.replace(ICPConfig(), mode=icp_mode),
+        # capacities sized to the synthetic sensor (24k raw points -> 12k
+        # after the host subsample; ~45k map points in a 10 m crop)
         capacity=CloudCapacity(
-            scan=32768,
+            scan=16384,
             cropped_scan=16384,
             cropped_map=65536,
             map=1 << 20,
