@@ -167,3 +167,45 @@ def brute_force_oracle(source, target, guess, cfg):
                     if score < cfg.mean_error_threshold:
                         return True, T, score
     return False, best_T, best_score
+
+
+class PipelineOracle:
+    """Full per-scan pipeline oracle — the C++ node's steady-state math
+    (localization_node.cpp:263-374) in float64 numpy, dynamic shapes."""
+
+    def __init__(self, map_points, first_gps_T, first_odom_T,
+                 crop_radius=10.0, ref_dist=3.0, subsample=2):
+        self.map_points = np.asarray(map_points, np.float64)
+        self.crop_radius = crop_radius
+        self.ref_dist = ref_dist
+        self.subsample = subsample
+        self.map_T_sensor = np.asarray(first_gps_T, np.float64)
+        self.odom_prev = np.asarray(first_odom_T, np.float64)
+        self.map_T_ref = self.map_T_sensor.copy()
+        self.cropped_map = np.zeros((0, 3))
+        self.filter = StochasticFilterOracle()
+
+    def step(self, scan, odom_T, gps_T, odom_tr, gps_tr):
+        scan = np.asarray(scan, np.float64)[:: self.subsample]
+        d = np.linalg.norm(scan, axis=1)
+        cropped_scan = scan[d <= self.crop_radius]
+
+        rel = np.linalg.inv(self.map_T_sensor) @ self.map_T_ref
+        if np.linalg.norm(rel[:3, 3]) > self.ref_dist or len(self.cropped_map) == 0:
+            dm = np.linalg.norm(self.map_points - self.map_T_sensor[:3, 3], axis=1)
+            self.cropped_map = self.map_points[dm <= self.crop_radius]
+            self.map_T_ref = self.map_T_sensor.copy()
+
+        prev_T_cur = np.linalg.inv(self.odom_prev) @ odom_T
+        odom_pred = self.map_T_sensor @ prev_T_cur
+        total = odom_tr + gps_tr
+        odom_gain, gps_gain = gps_tr / total, odom_tr / total
+        prior = odom_gain * odom_pred + gps_gain * np.asarray(gps_T, np.float64)
+
+        self.filter.add(prior)
+        prior = self.filter.apply(self.map_T_sensor, prior)
+
+        res = icp_oracle(cropped_scan, self.cropped_map, prior)
+        self.map_T_sensor = res["T"]
+        self.odom_prev = np.asarray(odom_T, np.float64)
+        return self.map_T_sensor.copy(), res
