@@ -45,7 +45,11 @@ from slam_sensor_fusion_tpu.ops import morton
 from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
 from slam_sensor_fusion_tpu.ops.brute_force import brute_force_align
 from slam_sensor_fusion_tpu.ops.icp import ICPResult, icp_align
-from slam_sensor_fusion_tpu.ops.icp_fused import icp_align_fused
+from slam_sensor_fusion_tpu.ops.icp_fused import (
+    CachedTarget,
+    build_cached_target,
+    icp_align_fused,
+)
 from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
 
 Array = jax.Array
@@ -71,6 +75,8 @@ class PipelineState(NamedTuple):
     map_T_ref: Array  # (4, 4) pose of the last map crop
     cropped_map: cl.Cloud  # fixed-capacity ICP target
     filter_state: sf.FilterState
+    #: target pages/bboxes for the fused ICP, rebuilt only at re-crop
+    cached_target: CachedTarget
 
 
 class StepOutput(NamedTuple):
@@ -95,6 +101,8 @@ def init_state(
     crop left empty so the first processed frame populates it."""
     del map_capacity
     cap = config.capacity.cropped_map
+    n_tt = cap // config.icp.tile_tgt
+    tn = config.icp.tile_tgt
     return PipelineState(
         map_T_sensor=first_gps_pose,
         odom_T_sensor_previous=first_odom_pose,
@@ -103,6 +111,13 @@ def init_state(
             jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap,), bool)
         ),
         filter_state=sf.init_state(config.filter),
+        # empty boxes (lo > hi) can never pair; first frame forces a re-crop
+        cached_target=CachedTarget(
+            pages=jnp.full((n_tt, 3, tn), -1.0e7, jnp.float32),
+            lo=jnp.full((n_tt, 3), jnp.inf, jnp.float32),
+            hi=jnp.full((n_tt, 3), -jnp.inf, jnp.float32),
+            center=jnp.zeros(3, jnp.float32),
+        ),
     )
 
 
@@ -117,7 +132,7 @@ def _preprocess(
     """Scan subsample + crop, and predicated map re-crop
     (localization_node.cpp:285-305).
 
-    Returns (cropped_scan, cropped_map, map_T_ref, recropped).
+    Returns (cropped_scan, cropped_map, cached_target, map_T_ref, recropped).
     """
     scan = cl.Cloud(scan_points, scan_mask)
     if not config.host_preprocess:
@@ -144,12 +159,22 @@ def _preprocess(
         packed = cl.compact(mask, config.capacity.cropped_map)
         # Morton-sort so ICP's gated correspondence search can cull target
         # tiles by bbox distance (the kd-tree-build equivalent, done once
-        # per re-crop like icp_->setTargetPointCloud at :303)
-        return morton.sort_by_morton(packed)
+        # per re-crop like icp_->setTargetPointCloud at :303), and cache
+        # the fused kernel's target pages/bboxes until the next re-crop
+        sorted_map = morton.sort_by_morton(packed)
+        cache = build_cached_target(
+            sorted_map.points,
+            sorted_map.mask,
+            state.map_T_sensor[:3, 3],
+            config.icp.tile_tgt,
+        )
+        return sorted_map, cache
 
-    cropped_map = jax.lax.cond(need, recrop, lambda: state.cropped_map)
+    cropped_map, cached_target = jax.lax.cond(
+        need, recrop, lambda: (state.cropped_map, state.cached_target)
+    )
     map_T_ref = jnp.where(need, state.map_T_sensor, state.map_T_ref)
-    return cropped_scan, cropped_map, map_T_ref, need
+    return cropped_scan, cropped_map, cached_target, map_T_ref, need
 
 
 def _pose_gains(
@@ -167,6 +192,7 @@ def _fine(
     state: PipelineState,
     cropped_scan: cl.Cloud,
     cropped_map: cl.Cloud,
+    cached_target: CachedTarget,
     map_T_ref: Array,
     recropped: Array,
     odom_T_sensor: Array,
@@ -187,15 +213,25 @@ def _fine(
     filter_state = sf.add_pose(state.filter_state, prior, config.filter)
     prior = sf.apply_gate(filter_state, state.map_T_sensor, prior, config.filter)
 
-    icp_fn = icp_align_fused if config.icp.mode == "fast" else icp_align
-    icp_result: ICPResult = icp_fn(
-        cropped_scan.points,
-        cropped_scan.mask,
-        cropped_map.points,
-        cropped_map.mask,
-        prior,
-        config.icp,
-    )
+    if config.icp.mode == "fast":
+        icp_result: ICPResult = icp_align_fused(
+            cropped_scan.points,
+            cropped_scan.mask,
+            cropped_map.points,
+            cropped_map.mask,
+            prior,
+            config.icp,
+            cached_target=cached_target,
+        )
+    else:
+        icp_result = icp_align(
+            cropped_scan.points,
+            cropped_scan.mask,
+            cropped_map.points,
+            cropped_map.mask,
+            prior,
+            config.icp,
+        )
 
     new_state = PipelineState(
         map_T_sensor=icp_result.transformation,
@@ -203,6 +239,7 @@ def _fine(
         map_T_ref=map_T_ref,
         cropped_map=cropped_map,
         filter_state=filter_state,
+        cached_target=cached_target,
     )
     out = StepOutput(
         map_T_sensor=icp_result.transformation,
@@ -231,13 +268,14 @@ def step(
     config: LocalizationConfig,
 ) -> tuple[PipelineState, StepOutput]:
     """One full steady-state localization callback as a single program."""
-    cropped_scan, cropped_map, map_T_ref, recropped = _preprocess(
+    cropped_scan, cropped_map, cached_target, map_T_ref, recropped = _preprocess(
         state, scan_points, scan_mask, map_cloud, config, valid
     )
     new_state, out = _fine(
         state,
         cropped_scan,
         cropped_map,
+        cached_target,
         map_T_ref,
         recropped,
         odom_T_sensor,
@@ -249,12 +287,17 @@ def step(
     # invalid frames (GPS altitude < 0) are full no-ops (:269-276).
     # cropped_map is already valid-gated inside _preprocess, so the (1 MB)
     # select over the map buffer is skipped here.
-    small_new = new_state._replace(cropped_map=state.cropped_map)
+    small_new = new_state._replace(
+        cropped_map=state.cropped_map, cached_target=state.cached_target
+    )
     small_old = state
     gated = jax.tree.map(
         lambda new, old: jnp.where(valid, new, old), small_new, small_old
     )
-    new_state = gated._replace(cropped_map=new_state.cropped_map)
+    new_state = gated._replace(
+        cropped_map=new_state.cropped_map,
+        cached_target=new_state.cached_target,
+    )
     out = jax.tree.map(lambda x: jnp.where(valid, x, jnp.zeros_like(x)), out)
     out = out._replace(
         map_T_sensor=jnp.where(valid, out.map_T_sensor, state.map_T_sensor)
@@ -309,7 +352,7 @@ def coarse_attempt(
     map_cloud: cl.Cloud,
     guess: Array,
     config: LocalizationConfig,
-) -> tuple[cl.Cloud, Array, Array, CoarseOutput]:
+):
     """One coarse-alignment attempt on one frame.
 
     Mirrors the reference ladder: brute force on floor-removed, extra-
@@ -318,7 +361,7 @@ def coarse_attempt(
     preprocessing results too so the caller can continue with the fine
     step exactly like the reference does within the same callback.
     """
-    cropped_scan, cropped_map, map_T_ref, recropped = _preprocess(
+    cropped_scan, cropped_map, cached_target, map_T_ref, recropped = _preprocess(
         state, scan_points, scan_mask, map_cloud, config
     )
 
@@ -361,6 +404,7 @@ def coarse_attempt(
     )
     return (
         cropped_map,
+        cached_target,
         map_T_ref,
         cropped_scan,
         CoarseOutput(
@@ -501,7 +545,7 @@ class Localizer:
                 gps_cov_trace[i : i + 1],
                 valid[i : i + 1],
             )
-            cropped_map, map_T_ref, cropped_scan, coarse = coarse_attempt(
+            cropped_map, cached_target, map_T_ref, cropped_scan, coarse = coarse_attempt(
                 state,
                 frame.scan_points[0],
                 frame.scan_mask[0],
@@ -509,7 +553,11 @@ class Localizer:
                 guess,
                 cfg,
             )
-            state = state._replace(cropped_map=cropped_map, map_T_ref=map_T_ref)
+            state = state._replace(
+                cropped_map=cropped_map,
+                cached_target=cached_target,
+                map_T_ref=map_T_ref,
+            )
             if bool(coarse.success):
                 coarse_done = True
                 state = state._replace(map_T_sensor=coarse.map_T_sensor)
@@ -518,6 +566,7 @@ class Localizer:
                     state,
                     cropped_scan,
                     state.cropped_map,
+                    state.cached_target,
                     state.map_T_ref,
                     jnp.bool_(False),
                     frame.odom_T_sensor[0],
@@ -571,9 +620,10 @@ class Localizer:
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _fine_jit(state, cropped_scan, cropped_map, map_T_ref, recropped,
-              odom_T_sensor, map_T_sensor_gps, odom_cov_trace, gps_cov_trace, config):
+def _fine_jit(state, cropped_scan, cropped_map, cached_target, map_T_ref,
+              recropped, odom_T_sensor, map_T_sensor_gps, odom_cov_trace,
+              gps_cov_trace, config):
     return _fine(
-        state, cropped_scan, cropped_map, map_T_ref, recropped,
+        state, cropped_scan, cropped_map, cached_target, map_T_ref, recropped,
         odom_T_sensor, map_T_sensor_gps, odom_cov_trace, gps_cov_trace, config,
     )

@@ -308,6 +308,29 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
     return kernel
 
 
+class CachedTarget(NamedTuple):
+    """Precomputed target-side structures, valid until the map re-crops.
+
+    Built by `build_cached_target` once per re-crop; `icp_align_fused`
+    then skips the per-frame page transpose and bbox pass entirely.
+    """
+
+    pages: Array  # (nTt, 3, TN) rebased by `center`, -FAR sentinels
+    lo: Array  # (nTt, 3) tile bbox minima (original frame)
+    hi: Array  # (nTt, 3)
+    center: Array  # (3,) the rebase point (crop pose translation)
+
+
+def build_cached_target(
+    target: Array, target_mask: Array, center: Array, tile_tgt: int
+) -> CachedTarget:
+    from slam_sensor_fusion_tpu.ops.morton import tile_bboxes
+
+    pages = make_pages(target, target_mask, center, tile_tgt, sentinel=-1.0e7)
+    lo, hi, _ = tile_bboxes(target, target_mask, tile_tgt)
+    return CachedTarget(pages=pages, lo=lo, hi=hi, center=center)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
 def icp_align_fused(
     source: Array,
@@ -317,10 +340,13 @@ def icp_align_fused(
     initial_T: Array,
     config: ICPConfig = ICPConfig(),
     interpret: bool = False,
+    cached_target: CachedTarget | None = None,
 ) -> ICPResult:
     """Fresh-correspondence point-to-point ICP, fully fused on TPU.
 
     Shapes must be tile-divisible; otherwise falls back to the XLA path.
+    Passing `cached_target` (see build_cached_target) skips the per-frame
+    target page/bbox construction — the pipeline caches it per re-crop.
     """
     M, N = source.shape[0], target.shape[0]
     TM, TN = config.tile_src, config.tile_tgt
@@ -329,13 +355,21 @@ def icp_align_fused(
             source, source_mask, target, target_mask, initial_T, config, False
         )
     nSt = M // TM
-    center = initial_T[:3, 3]
     gate = config.max_correspondence_dist_sq
 
     pts0 = geometry.transform_points(initial_T, source)
     search_r2 = (math.sqrt(gate) + config.reassoc_margin) ** 2
-    visits, counts, _ = build_visit_lists(
-        pts0, source_mask, target, target_mask, search_r2, TM, TN,
+    from slam_sensor_fusion_tpu.ops.morton import tile_bboxes
+    from slam_sensor_fusion_tpu.ops.nn_gated import pair_tiles
+
+    if cached_target is None:
+        cached_target = build_cached_target(
+            target, target_mask, initial_T[:3, 3], TN
+        )
+    center = cached_target.center
+    lo_s, hi_s, cnt_s = tile_bboxes(pts0, source_mask, TM)
+    visits, counts, _ = pair_tiles(
+        lo_s, hi_s, cnt_s, cached_target.lo, cached_target.hi, search_r2,
         config.max_visits,
     )
     pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, nSt * 8)
@@ -345,7 +379,7 @@ def icp_align_fused(
     # Distinct +/- sentinels keep invalid source points from "matching"
     # invalid target points at distance zero.
     src_pages = make_pages(source, source_mask, center * 0, TM, sentinel=1.0e7)
-    tgt_pages = make_pages(target, target_mask, center, TN, sentinel=-1.0e7)
+    tgt_pages = cached_target.pages
     shift = geometry.make_T(jnp.eye(3, dtype=jnp.float32), center)
     unshift = geometry.make_T(jnp.eye(3, dtype=jnp.float32), -center)
     T0_rebased = unshift @ initial_T

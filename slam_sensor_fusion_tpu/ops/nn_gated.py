@@ -45,19 +45,21 @@ class GatedNNResult(NamedTuple):
     visit_overflow: Array  # () bool: some tile pair was culled by max_visits
 
 
-def build_visit_lists(
-    src_pts: Array,
-    src_mask: Array,
-    tgt_pts: Array,
-    tgt_mask: Array,
+def pair_tiles(
+    lo_s: Array,
+    hi_s: Array,
+    cnt_s: Array,
+    lo_t: Array,
+    hi_t: Array,
     radius2: float,
-    tile_src: int,
-    tile_tgt: int,
     max_visits: int,
 ) -> tuple[Array, Array, Array]:
-    """(visits (nSt, max_visits) int32, counts (nSt,), overflow ())."""
-    lo_s, hi_s, cnt_s = tile_bboxes(src_pts, src_mask, tile_src)
-    lo_t, hi_t, cnt_t = tile_bboxes(tgt_pts, tgt_mask, tile_tgt)
+    """Admissible-tile pairing from precomputed bboxes.
+
+    (visits (nSt, max_visits) int32, counts (nSt,), overflow ()).
+    Split out of build_visit_lists so callers can cache the TARGET side's
+    bboxes across frames (they only change at map re-crop).
+    """
     d2 = bbox_pair_dist2(lo_s, hi_s, lo_t, hi_t)  # (nSt, nTt)
     admissible = d2 <= radius2  # inf for empty tiles -> False
     n_adm = jnp.sum(admissible, axis=1)
@@ -70,6 +72,22 @@ def build_visit_lists(
     counts = jnp.where(cnt_s > 0, counts, 0)
     overflow = jnp.any((n_adm > max_visits) & (cnt_s > 0))
     return visits, counts, overflow
+
+
+def build_visit_lists(
+    src_pts: Array,
+    src_mask: Array,
+    tgt_pts: Array,
+    tgt_mask: Array,
+    radius2: float,
+    tile_src: int,
+    tile_tgt: int,
+    max_visits: int,
+) -> tuple[Array, Array, Array]:
+    """(visits (nSt, max_visits) int32, counts (nSt,), overflow ())."""
+    lo_s, hi_s, cnt_s = tile_bboxes(src_pts, src_mask, tile_src)
+    lo_t, hi_t, _ = tile_bboxes(tgt_pts, tgt_mask, tile_tgt)
+    return pair_tiles(lo_s, hi_s, cnt_s, lo_t, hi_t, radius2, max_visits)
 
 
 @functools.partial(

@@ -37,21 +37,17 @@ def batched_init_state(
     first_gps_pose: Array,  # (B, 4, 4)
     first_odom_pose: Array,  # (B, 4, 4)
 ) -> PipelineState:
-    B = first_gps_pose.shape[0]
-    cap = config.capacity.cropped_map
-    from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
+    from slam_sensor_fusion_tpu.models.localization import init_state
 
-    fs = sf.init_state(config.filter)
-    return PipelineState(
+    B = first_gps_pose.shape[0]
+    single = init_state(config, 0, first_gps_pose[0], first_odom_pose[0])
+    batched = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), single
+    )
+    return batched._replace(
         map_T_sensor=first_gps_pose,
         odom_T_sensor_previous=first_odom_pose,
         map_T_ref=first_gps_pose,
-        cropped_map=cl.Cloud(
-            jnp.zeros((B, cap, 3), jnp.float32), jnp.zeros((B, cap), bool)
-        ),
-        filter_state=jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (B,) + x.shape), fs
-        ),
     )
 
 
