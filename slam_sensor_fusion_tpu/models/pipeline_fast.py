@@ -1,0 +1,344 @@
+"""Fast-mode steady-state pipeline: host-paged frames + K-frame superblocks.
+
+Perf restructure of models/localization.run_chunk for the native (fused-
+kernel) ICP mode. Round-1 cost accounting (ARCHITECTURE.md §6) put the
+per-frame budget at ~2.7 ms: ~0.6 ms fused kernel, ~0.7 ms lax.cond
+identity copies of the ~1 MB cropped-map carry, ~1.4 ms of XLA prologue
+(page packing, bboxes, pair-list build, small fusion/filter ops issued
+per frame). This module removes the second and third items structurally:
+
+* ALL per-frame scan preprocessing — uniform subsample (in original scan
+  order, parity with localization_node.cpp:292), 10 m radius crop, Morton
+  sort, (nSt, 3, TM) page packing with +FAR sentinels, per-tile bboxes —
+  happens once in the host loader (`build_paged_frames`); the device never
+  touches an (M, 3) scan layout;
+* the map re-crop check runs once per K-frame SUPERBLOCK instead of every
+  frame, so the cond's identity copies amortize to ~0.09 ms at K=8; the
+  trigger uses the odometry-PREDICTED end-of-block pose, a conservative
+  superset of the per-frame trigger (localization_node.cpp:299-305);
+* the tile-pair lists for all K frames are built in ONE vectorized
+  prologue from odometry-predicted poses; the prediction error vs the
+  true per-frame prior is bounded by the accumulated ICP/blend
+  corrections inside the block, covered by a per-frame-growing dilation
+  of the pair search radius (`config.superstep_slack`);
+* the inner per-frame loop closes over the superblock's cropped-map
+  pages, so its scan carry is a few hundred bytes (pose, odometry
+  reference, filter queue) — no large-buffer copies per frame.
+
+Per-frame semantics otherwise mirror localization_node.cpp:263-374
+exactly like models/localization.step: odometry prediction (:89-110),
+covariance-weighted element-wise pose blend (:151-179,329), stochastic
+gate (:331-332), ICP (:334-338), invalid-frame no-op (:269-276).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_sensor_fusion_tpu.models.localization import (
+    PipelineState,
+    StepOutput,
+    _pose_gains,
+)
+from slam_sensor_fusion_tpu.ops import cloud as cl
+from slam_sensor_fusion_tpu.ops import geometry as geo
+from slam_sensor_fusion_tpu.ops import morton
+from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
+from slam_sensor_fusion_tpu.ops.icp_fused import (
+    build_cached_target,
+    icp_align_fused_paged,
+)
+from slam_sensor_fusion_tpu.ops.nn_gated import pair_tiles
+from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list
+from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
+
+Array = jax.Array
+
+_FAR = 1.0e7  # sentinel for invalid source points (see ops/nn_pallas.py)
+
+
+class PagedFrames(NamedTuple):
+    """Host-prestaged per-frame inputs in device-native page layout."""
+
+    src_pages: Array  # (T, nSt, 3, TM) sensor frame, invalid -> +_FAR
+    src_lo: Array  # (T, nSt, 3) per-tile bbox minima (sensor frame)
+    src_hi: Array  # (T, nSt, 3)
+    src_cnt: Array  # (T, nSt) int32 valid points per tile
+    odom_T_sensor: Array  # (T, 4, 4)
+    map_T_sensor_gps: Array  # (T, 4, 4)
+    odom_cov_trace: Array  # (T,)
+    gps_cov_trace: Array  # (T,)
+    valid: Array  # (T,) bool
+
+
+def build_paged_frames(
+    config: LocalizationConfig,
+    scans: list[np.ndarray],
+    odom_T_sensor: np.ndarray,
+    map_T_sensor_gps: np.ndarray,
+    odom_cov_trace: np.ndarray,
+    gps_cov_trace: np.ndarray,
+    valid: np.ndarray,
+) -> PagedFrames:
+    """Prestage frames: subsample -> 10 m crop -> Morton sort -> pages.
+
+    The subsample keeps every k-th point in ORIGINAL scan order (parity
+    with localization_node.cpp:292); the radius crop matches
+    cl.crop_radius (d2 <= r^2) around the sensor origin.
+    """
+    S = config.capacity.cropped_scan
+    TM = config.icp.tile_src
+    if S % TM:
+        raise ValueError(f"cropped_scan capacity {S} not divisible by tile {TM}")
+    nSt = S // TM
+    T = len(scans)
+    r2 = config.cloud_crop_radius * config.cloud_crop_radius
+
+    pages = np.full((T, nSt, 3, TM), _FAR, np.float32)
+    lo = np.zeros((T, nSt, 3), np.float32)
+    hi = np.zeros((T, nSt, 3), np.float32)
+    cnt = np.zeros((T, nSt), np.int32)
+    row = np.arange(TM)
+
+    for i, sc in enumerate(scans):
+        sc = np.asarray(sc, np.float32).reshape(-1, 3)
+        if len(sc) >= config.scan_subsample_step:
+            sc = sc[:: config.scan_subsample_step]
+        sc = sc[np.einsum("ij,ij->i", sc, sc) <= r2]
+        sc = morton.sort_points_numpy(sc)
+        n = min(len(sc), S)
+        buf = np.full((S, 3), _FAR, np.float32)
+        buf[:n] = sc[:n]
+        pages[i] = buf.reshape(nSt, TM, 3).transpose(0, 2, 1)
+        c = np.clip(n - np.arange(nSt) * TM, 0, TM).astype(np.int32)
+        cnt[i] = c
+        tiles = buf.reshape(nSt, TM, 3)
+        vrow = (row[None, :] < c[:, None])[:, :, None]
+        lo[i] = np.where(vrow, tiles, np.inf).min(axis=1)
+        hi[i] = np.where(vrow, tiles, -np.inf).max(axis=1)
+        # empty tiles: a degenerate point box (filtered by cnt==0 anyway;
+        # finite values keep the device-side corner transform NaN-free)
+        lo[i, c == 0] = 0.0
+        hi[i, c == 0] = 0.0
+
+    return PagedFrames(
+        src_pages=jnp.asarray(pages),
+        src_lo=jnp.asarray(lo),
+        src_hi=jnp.asarray(hi),
+        src_cnt=jnp.asarray(cnt),
+        odom_T_sensor=jnp.asarray(odom_T_sensor, jnp.float32),
+        map_T_sensor_gps=jnp.asarray(map_T_sensor_gps, jnp.float32),
+        odom_cov_trace=jnp.asarray(odom_cov_trace, jnp.float32),
+        gps_cov_trace=jnp.asarray(gps_cov_trace, jnp.float32),
+        valid=jnp.asarray(valid, bool),
+    )
+
+
+# 8 bbox corner selectors (True -> take hi on that axis)
+_CORNER_SEL = np.array(
+    [[(k >> a) & 1 for a in range(3)] for k in range(8)], bool
+)  # (8, 3)
+
+
+def _transformed_tile_boxes(pred: Array, lo: Array, hi: Array):
+    """AABBs of per-tile boxes under per-frame rigid transforms.
+
+    pred (K,4,4); lo/hi (K,nSt,3) in sensor frame -> (K,nSt,3) map frame.
+    The rotated-AABB hull is a dilation of the true point hull, so pair
+    admissibility stays a superset (never misses a true pair).
+    """
+    sel = jnp.asarray(_CORNER_SEL)  # (8, 3)
+    corners = jnp.where(
+        sel[None, None, :, :], hi[:, :, None, :], lo[:, :, None, :]
+    )  # (K, nSt, 8, 3)
+    wc = (
+        jnp.einsum("kij,kscj->ksci", pred[:, :3, :3], corners)
+        + pred[:, None, None, :3, 3]
+    )
+    return jnp.min(wc, axis=2), jnp.max(wc, axis=2)
+
+
+class _PerFrame(NamedTuple):
+    src_pages: Array  # (nSt, 3, TM)
+    pair_src: Array  # (max_pairs,)
+    pair_tgt: Array  # (max_pairs,)
+    n_pairs: Array  # ()
+    pair_overflow: Array  # () bool
+    odom_T_sensor: Array
+    map_T_sensor_gps: Array
+    odom_cov_trace: Array
+    gps_cov_trace: Array
+    valid: Array
+
+
+def _superstep(
+    state: PipelineState,
+    blk: PagedFrames,
+    map_cloud: cl.Cloud,
+    config: LocalizationConfig,
+    interpret: bool,
+) -> tuple[PipelineState, StepOutput]:
+    """One K-frame superblock: recrop-once + vectorized pair prologue +
+    per-frame fine loop."""
+    K = blk.valid.shape[0]
+    icp_cfg = config.icp
+    TM = icp_cfg.tile_src
+    nSt = blk.src_pages.shape[1]
+    max_pairs = nSt * icp_cfg.max_pairs_factor
+
+    # ---- odometry-predicted poses for the whole block ----
+    inv_prev = geo.inv_T(state.odom_T_sensor_previous)
+    deltas = jnp.einsum("ij,kjl->kil", inv_prev, blk.odom_T_sensor)  # (K,4,4)
+    pred = jnp.einsum("ij,kjl->kil", state.map_T_sensor, deltas)  # (K,4,4)
+
+    # ---- map re-crop, once per block (localization_node.cpp:299-305) ----
+    any_valid = jnp.any(blk.valid)
+    end_dist = jnp.linalg.norm(pred[-1, :3, 3] - state.map_T_ref[:3, 3])
+    empty = state.cropped_map.count() == 0
+    need = ((end_dist > config.ref_frame_distance) | empty) & any_valid
+    center_pose = pred[K // 2]  # mid-block: best coverage of the block
+
+    def recrop():
+        mask = cl.crop_radius(
+            map_cloud, center_pose[:3, 3], config.cloud_crop_radius
+        )
+        packed = cl.compact(mask, config.capacity.cropped_map)
+        sorted_map = morton.sort_by_morton(packed)
+        cache = build_cached_target(
+            sorted_map.points, sorted_map.mask, center_pose[:3, 3],
+            icp_cfg.tile_tgt,
+        )
+        return sorted_map, cache
+
+    cropped_map, cached_target = jax.lax.cond(
+        need, recrop, lambda: (state.cropped_map, state.cached_target)
+    )
+    map_T_ref = jnp.where(need, center_pose, state.map_T_ref)
+
+    # ---- pair lists for all K frames in one vectorized prologue ----
+    lo_s, hi_s = _transformed_tile_boxes(pred, blk.src_lo, blk.src_hi)
+    base_r = math.sqrt(icp_cfg.max_correspondence_dist_sq) + icp_cfg.reassoc_margin
+    radius2 = (
+        base_r + config.superstep_slack * jnp.arange(K, dtype=jnp.float32)
+    ) ** 2
+    visits, counts, v_ovf = jax.vmap(
+        pair_tiles, in_axes=(0, 0, 0, None, None, 0, None)
+    )(
+        lo_s, hi_s, blk.src_cnt, cached_target.lo, cached_target.hi,
+        radius2, icp_cfg.max_visits,
+    )
+    pair_src, pair_tgt, n_pairs = jax.vmap(
+        lambda v, c: _build_pair_list(v, c, max_pairs)
+    )(visits, counts)
+    pair_ovf = v_ovf | (jnp.sum(counts, axis=1) > max_pairs)  # (K,)
+
+    # ---- per-frame fine loop (small carry; map pages closed over) ----
+    def fine(carry, per: _PerFrame):
+        pose, odom_prev, filt = carry
+        previous_T_current = geo.inv_T(odom_prev) @ per.odom_T_sensor
+        map_T_sensor_odom = pose @ previous_T_current
+        odom_gain, gps_gain = _pose_gains(
+            per.odom_cov_trace, per.gps_cov_trace, config
+        )
+        prior = odom_gain * map_T_sensor_odom + gps_gain * per.map_T_sensor_gps
+        filt_new = sf.add_pose(filt, prior, config.filter)
+        prior = sf.apply_gate(filt_new, pose, prior, config.filter)
+
+        icp = icp_align_fused_paged(
+            per.src_pages,
+            per.pair_src,
+            per.pair_tgt,
+            per.n_pairs,
+            prior,
+            cached_target,
+            icp_cfg,
+            interpret=interpret,
+            pair_overflow=per.pair_overflow,
+        )
+
+        v = per.valid
+        pose_out = jnp.where(v, icp.transformation, pose)
+        odom_out = jnp.where(v, per.odom_T_sensor, odom_prev)
+        filt_out = jax.tree.map(
+            lambda a, b: jnp.where(v, a, b), filt_new, filt
+        )
+        out = StepOutput(
+            map_T_sensor=pose_out,
+            map_T_sensor_prior=jnp.where(v, prior, jnp.zeros_like(prior)),
+            map_T_sensor_odom=jnp.where(
+                v, map_T_sensor_odom, jnp.zeros_like(map_T_sensor_odom)
+            ),
+            icp_error=jnp.where(v, icp.error, 0.0),
+            icp_iterations=jnp.where(v, icp.iterations, 0),
+            icp_converged=v & icp.has_converged,
+            n_correspondences=jnp.where(v, icp.n_correspondences, 0),
+            recropped=jnp.bool_(False),  # filled per block below
+            pair_overflow=v & jnp.asarray(icp.pair_overflow, bool),
+            icp_det_min=jnp.where(v, jnp.asarray(icp.det_min, jnp.float32), 0.0),
+        )
+        return (pose_out, odom_out, filt_out), out
+
+    xs = _PerFrame(
+        src_pages=blk.src_pages,
+        pair_src=pair_src,
+        pair_tgt=pair_tgt,
+        n_pairs=n_pairs,
+        pair_overflow=pair_ovf,
+        odom_T_sensor=blk.odom_T_sensor,
+        map_T_sensor_gps=blk.map_T_sensor_gps,
+        odom_cov_trace=blk.odom_cov_trace,
+        gps_cov_trace=blk.gps_cov_trace,
+        valid=blk.valid,
+    )
+    (pose, odom_prev, filt), outs = jax.lax.scan(
+        fine,
+        (state.map_T_sensor, state.odom_T_sensor_previous, state.filter_state),
+        xs,
+    )
+    outs = outs._replace(
+        recropped=need & (jnp.arange(K) == 0),
+    )
+
+    new_state = PipelineState(
+        map_T_sensor=pose,
+        odom_T_sensor_previous=odom_prev,
+        map_T_ref=map_T_ref,
+        cropped_map=cropped_map,
+        filter_state=filt,
+        cached_target=cached_target,
+    )
+    return new_state, outs
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def run_chunk_fast(
+    state: PipelineState,
+    frames: PagedFrames,
+    map_cloud: cl.Cloud,
+    config: LocalizationConfig,
+    interpret: bool = False,
+) -> tuple[PipelineState, StepOutput]:
+    """Superblock scan over a chunk of host-paged frames.
+
+    T must be a multiple of config.superstep (callers pad the tail with
+    valid=False no-op frames)."""
+    K = config.superstep
+    T = frames.valid.shape[0]
+    if T % K:
+        raise ValueError(f"chunk length {T} not a multiple of superstep {K}")
+    blocks = jax.tree.map(
+        lambda x: x.reshape((T // K, K) + x.shape[1:]), frames
+    )
+
+    def outer(carry, blk):
+        return _superstep(carry, blk, map_cloud, config, interpret)
+
+    final, outs = jax.lax.scan(outer, state, blocks)
+    outs = jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), outs)
+    return final, outs

@@ -61,26 +61,43 @@ _BIG = 3.0e38
 
 
 class ICPResult(NamedTuple):
-    """Mirror of the reference's ICPResult (icp_point_to_point.h:28-39)."""
+    """Mirror of the reference's ICPResult (icp_point_to_point.h:28-39),
+    plus observability extras the reference silently drops."""
 
     transformation: Array  # (4, 4)
     error: Array  # () mean correspondence error [m]
     iterations: Array  # () int32
     has_converged: Array  # () bool
     n_correspondences: Array  # () int32 (extra observability)
+    #: () bool — the tile-culled correspondence search truncated its visit
+    #: or pair list (max_visits/max_pairs); correspondences may be missing.
+    #: Silent truncation corrupted nothing observable in round 1 — this
+    #: flag exists so it never can.
+    pair_overflow: Array | bool = False
+    #: () f32 — smallest |det| of the Kabsch moment matrix seen by the
+    #: fused kernel's Newton-polar solve (0 for non-fused paths); values
+    #: near 0 mean a degenerate (planar/linear) correspondence set.
+    det_min: Array | float = 0.0
 
 
-def _result(enough, final_T, final_err, final_i, n_corr0, initial_T, config):
+def _result(
+    enough, final_T, final_err, final_i, n_corr0, initial_T, config,
+    pair_overflow=None,
+):
     # iterations counter: the reference counts completed step iterations
     # (icp_point_to_point.cpp:234); the early-exit path does not increment.
     error_out = jnp.where(enough, final_err, jnp.float32(1e6))
     T_out = jnp.where(enough, final_T, initial_T)
+    if pair_overflow is None:
+        pair_overflow = jnp.bool_(False)
     return ICPResult(
         transformation=T_out,
         error=error_out,
         iterations=jnp.where(enough, final_i, 0),
         has_converged=enough & (error_out < config.acceptable_mean_error),
         n_correspondences=n_corr0,
+        pair_overflow=pair_overflow,
+        det_min=jnp.float32(0.0),
     )
 
 
@@ -143,11 +160,13 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
     # the pair list is built once with a dilated radius and reused across
     # re-associations; points move cm per step, far below the margin
     search_r2 = (math.sqrt(gate) + config.reassoc_margin) ** 2
-    visits, counts, _ = build_visit_lists(
+    visits, counts, v_overflow = build_visit_lists(
         pts0_flat, source_mask, target, target_mask, search_r2, TM, TN,
         config.max_visits,
     )
-    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, nSt * 8)
+    max_pairs = nSt * config.max_pairs_factor
+    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, max_pairs)
+    pair_overflow = v_overflow | (jnp.sum(counts) > max_pairs)
     tgt_pages = make_pages(target, target_mask, center, TN)
     pts0 = make_pages(pts0_flat, source_mask, center, TM)
     smask_pages = source_mask.reshape(nSt, TM)
@@ -214,7 +233,8 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
     final = jax.lax.while_loop(cond, body, init)
     final_T = shift @ final.T
     return _result(
-        enough, final_T, final.last_error, final.i, n_corr0, initial_T, config
+        enough, final_T, final.last_error, final.i, n_corr0, initial_T, config,
+        pair_overflow=pair_overflow,
     )
 
 
@@ -257,17 +277,18 @@ def _icp_xla(source, source_mask, target, target_mask, initial_T, config, use_ga
                 config.tile_tgt,
                 config.max_visits,
             )
-            return res.d2, res.idx
-        return nearest_neighbor(pts, mask, target, target_mask, center)
+            return res.d2, res.idx, res.visit_overflow
+        d2, idx = nearest_neighbor(pts, mask, target, target_mask, center)
+        return d2, idx, jnp.bool_(False)
 
-    d2, idx = associate(pts0, source_mask)
+    d2, idx, pair_overflow = associate(pts0, source_mask)
     alive0 = source_mask & (d2 < config.max_correspondence_dist_sq)
     corr0 = jnp.take(target, idx, axis=0)
     n_corr0 = jnp.sum(alive0.astype(jnp.int32))
     enough = n_corr0 >= config.min_correspondences
 
     def reassociate(pts, corr, alive):
-        d2n, idxn = associate(pts, alive)
+        d2n, idxn, _ = associate(pts, alive)
         new_alive = alive & (d2n < config.max_correspondence_dist_sq)
         new_corr = jnp.where(
             new_alive[:, None], jnp.take(target, idxn, axis=0), corr
@@ -316,7 +337,8 @@ def _icp_xla(source, source_mask, target, target_mask, initial_T, config, use_ga
     )
     final = jax.lax.while_loop(cond, body, init)
     return _result(
-        enough, final.T, final.last_error, final.i, n_corr0, initial_T, config
+        enough, final.T, final.last_error, final.i, n_corr0, initial_T, config,
+        pair_overflow=pair_overflow,
     )
 
 

@@ -331,6 +331,106 @@ def build_cached_target(
     return CachedTarget(pages=pages, lo=lo, hi=hi, center=center)
 
 
+def _fused_core(
+    src_pages: Array,
+    tgt_pages: Array,
+    pair_src: Array,
+    pair_tgt: Array,
+    n_pairs: Array,
+    T0_rebased: Array,
+    config: ICPConfig,
+    interpret: bool,
+) -> tuple[Array, Array]:
+    """One pallas_call of the whole-ICP kernel on prebuilt pages.
+
+    Returns (T_out (4,4) in the rebased frame, stats (1,128)):
+    stats[0, :4] = [mean error, iterations, n_correspondences, det_min].
+    """
+    nSt, _, TM = src_pages.shape
+    TN = tgt_pages.shape[2]
+    return pl.pallas_call(
+        _make_fused_kernel(TM, TN, config),
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, 4), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nSt, 1, TM), jnp.float32),
+            pltpu.VMEM((nSt, 3, TM), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pair_src, pair_tgt, n_pairs[None], T0_rebased, src_pages, tgt_pages)
+
+
+def _fused_result(
+    T_out: Array,
+    stats: Array,
+    shift: Array,
+    initial_T: Array,
+    config: ICPConfig,
+    pair_overflow: Array,
+) -> ICPResult:
+    err = stats[0, 0]
+    iters = stats[0, 1].astype(jnp.int32)
+    n_corr = stats[0, 2].astype(jnp.int32)
+    det_min = stats[0, 3]
+    enough = n_corr >= config.min_correspondences
+    T_final = shift @ T_out
+    return ICPResult(
+        transformation=jnp.where(enough, T_final, initial_T),
+        error=jnp.where(enough, err, jnp.float32(1e6)),
+        iterations=jnp.where(enough, iters, 0),
+        has_converged=enough & (err < config.acceptable_mean_error),
+        n_correspondences=n_corr,
+        pair_overflow=pair_overflow,
+        det_min=det_min,
+    )
+
+
+def icp_align_fused_paged(
+    src_pages: Array,
+    pair_src: Array,
+    pair_tgt: Array,
+    n_pairs: Array,
+    initial_T: Array,
+    cached_target: CachedTarget,
+    config: ICPConfig,
+    interpret: bool = False,
+    pair_overflow: Array | None = None,
+) -> ICPResult:
+    """Fused ICP on host-prebuilt source pages and a precomputed pair list.
+
+    The fast pipeline's hot entry point: source pages are packed once in
+    the loader (sensor frame, +FAR sentinels) and the pair list for every
+    frame of a superblock is built in one vectorized prologue — this call
+    is just the kernel plus result assembly.
+    """
+    center = cached_target.center
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    shift = geometry.make_T(eye3, center)
+    unshift = geometry.make_T(eye3, -center)
+    T_out, stats = _fused_core(
+        src_pages, cached_target.pages, pair_src, pair_tgt, n_pairs,
+        unshift @ initial_T, config, interpret,
+    )
+    if pair_overflow is None:
+        pair_overflow = jnp.bool_(False)
+    return _fused_result(T_out, stats, shift, initial_T, config, pair_overflow)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
 def icp_align_fused(
     source: Array,
@@ -368,11 +468,13 @@ def icp_align_fused(
         )
     center = cached_target.center
     lo_s, hi_s, cnt_s = tile_bboxes(pts0, source_mask, TM)
-    visits, counts, _ = pair_tiles(
+    visits, counts, v_overflow = pair_tiles(
         lo_s, hi_s, cnt_s, cached_target.lo, cached_target.hi, search_r2,
         config.max_visits,
     )
-    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, nSt * 8)
+    max_pairs = nSt * config.max_pairs_factor
+    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, max_pairs)
+    pair_overflow = v_overflow | (jnp.sum(counts) > max_pairs)
 
     # note: SOURCE pages stay untransformed/unrebased; the kernel applies
     # the full current transform. Rebase happens through T (conjugation).
@@ -384,41 +486,8 @@ def icp_align_fused(
     unshift = geometry.make_T(jnp.eye(3, dtype=jnp.float32), -center)
     T0_rebased = unshift @ initial_T
 
-    T_out, stats = pl.pallas_call(
-        _make_fused_kernel(TM, TN, config),
-        grid=(),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((4, 4), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((nSt, 1, TM), jnp.float32),
-            pltpu.VMEM((nSt, 3, TM), jnp.float32),
-        ],
-        interpret=interpret,
-    )(pair_src, pair_tgt, n_pairs[None], T0_rebased, src_pages, tgt_pages)
-
-    err = stats[0, 0]
-    iters = stats[0, 1].astype(jnp.int32)
-    n_corr = stats[0, 2].astype(jnp.int32)
-    enough = n_corr >= config.min_correspondences
-    T_final = shift @ T_out
-    return ICPResult(
-        transformation=jnp.where(enough, T_final, initial_T),
-        error=jnp.where(enough, err, jnp.float32(1e6)),
-        iterations=jnp.where(enough, iters, 0),
-        has_converged=enough & (err < config.acceptable_mean_error),
-        n_correspondences=n_corr,
+    T_out, stats = _fused_core(
+        src_pages, tgt_pages, pair_src, pair_tgt, n_pairs, T0_rebased,
+        config, interpret,
     )
+    return _fused_result(T_out, stats, shift, initial_T, config, pair_overflow)

@@ -58,7 +58,15 @@ class ICPConfig:
     nn_backend: str = "pallas"
     tile_src: int = 256
     tile_tgt: int = 512
-    max_visits: int = 24
+    #: cap on admissible target tiles per source tile. Sized to the worst
+    #: tile of the densest crop observed (49 on the bench world); the
+    #: nearest-by-bbox ordering makes truncation drop the farthest tiles
+    #: first, and `pair_overflow` reports any truncation downstream.
+    max_visits: int = 64
+    #: pair-list capacity = max_pairs_factor * n_source_tiles. Kernel work
+    #: scales with the ACTUAL number of admissible pairs, not this bound;
+    #: the bound costs only SMEM and prologue width.
+    max_pairs_factor: int = 16
     #: (pallas path) the tile pair list is built ONCE per alignment with
     #: the gate radius dilated by this margin [m] and reused across lazy
     #: re-associations — exact as long as ICP moves points less than the
@@ -182,6 +190,14 @@ class LocalizationConfig:
     #: (localization_node.cpp:151-161; node calls with fixed=false at :328)
     fixed_gains: bool = False
     enable_debug: bool = False
+    #: (fast mode) frames per superblock: the map re-crop check runs once
+    #: per superblock and the tile-pair lists for all superstep frames are
+    #: built in one vectorized prologue from odometry-predicted poses
+    superstep: int = 8
+    #: (fast mode) extra pair-list search-radius dilation per frame of
+    #: lookahead [m] — bounds the accumulated ICP/blend correction between
+    #: the odometry-predicted pose and the true per-frame prior
+    superstep_slack: float = 0.08
 
 
 @dataclasses.dataclass(frozen=True)
