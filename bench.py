@@ -64,13 +64,33 @@ def main() -> None:
     # "parity" = the reference's exact lazy-re-association control flow
     icp_mode = os.environ.get("BENCH_ICP_MODE", "fast")
 
+    # Native-mode defaults, measured on the v5e sweep (ARCHITECTURE.md §6):
+    # scan subsample 8 (3k pts/frame) holds the voxel-limited ATE floor
+    # (0.031 m vs 0.030 m at the reference's subsample 2) while the fused
+    # kernel's association cost drops ~4x. tile_src=512 halves pair-loop
+    # trip counts. ATE degrades gracefully down to ~750 pts/frame.
+    superstep = int(os.environ.get("BENCH_SUPERSTEP", "8"))
+    slack = float(os.environ.get("BENCH_SLACK", "0.08"))
+    margin = float(os.environ.get("BENCH_MARGIN", "0.5"))
+    iters = int(os.environ.get("BENCH_ICP_ITERS", "10"))
+    subsample = int(os.environ.get("BENCH_SUBSAMPLE", "8"))
+    tile_src = int(os.environ.get("BENCH_TILE_SRC", "512"))
+    scan_cap = 32768 // subsample
     config = LocalizationConfig(
-        icp=dataclasses.replace(ICPConfig(), mode=icp_mode),
+        superstep=superstep,
+        superstep_slack=slack,
+        scan_subsample_step=subsample,
+        icp=dataclasses.replace(
+            ICPConfig(), mode=icp_mode, reassoc_margin=margin,
+            num_iterations=iters, tile_src=tile_src,
+            max_visits=int(os.environ.get("BENCH_MAX_VISITS", "128")),
+            max_pairs_factor=int(os.environ.get("BENCH_PAIRS_FACTOR", "128")),
+        ),
         # capacities sized to the synthetic sensor (24k raw points -> 12k
         # after the host subsample; ~45k map points in a 10 m crop)
         capacity=CloudCapacity(
-            scan=16384,
-            cropped_scan=16384,
+            scan=scan_cap,
+            cropped_scan=scan_cap,
             cropped_map=65536,
             map=1 << 20,
             bf_source=1024,

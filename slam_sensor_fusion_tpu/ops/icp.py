@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from slam_sensor_fusion_tpu.ops import geometry
 from slam_sensor_fusion_tpu.ops.nn import nearest_neighbor
-from slam_sensor_fusion_tpu.ops.nn_gated import build_visit_lists, gated_nn
+from slam_sensor_fusion_tpu.ops.nn_gated import gated_nn
 from slam_sensor_fusion_tpu.ops.nn_pallas import (
     _build_pair_list,
     make_pages,
@@ -147,40 +147,98 @@ class _PState(NamedTuple):
     last_error: Array
     error: Array
     done: Array
+    pair_src: Array  # (max_pairs,) current tile-pair list
+    pair_tgt: Array
+    n_pairs: Array
+    #: upper bound on point displacement since the pair list was built;
+    #: past `reassoc_margin` the list may miss true neighbours -> rebuild
+    moved: Array
+    pair_overflow: Array
+
+
+def _pages_bboxes(pages: Array, mask_pages: Array):
+    """tile_bboxes over (nSt, 3, TM) pages (invalid entries excluded)."""
+    m = mask_pages[:, None, :]
+    big = jnp.asarray(jnp.inf, pages.dtype)
+    lo = jnp.min(jnp.where(m, pages, big), axis=2)  # (nSt, 3)
+    hi = jnp.max(jnp.where(m, pages, -big), axis=2)
+    return lo, hi
+
+
+def _step_displacement_bound(T_step: Array, rho: Array) -> Array:
+    """Max displacement of any point within radius `rho` of the origin
+    under the rigid step: ||t|| + 2 sin(theta/2) * rho."""
+    R = T_step[:3, :3]
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    half = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos_theta), 0.0))  # sin(theta/2)
+    return jnp.linalg.norm(T_step[:3, 3]) + 2.0 * half * rho
 
 
 def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, interpret):
-    """Pages-native loop; no lax.cond in the body."""
+    """Pages-native loop; no lax.cond in the steady-state body path.
+
+    The tile-pair list is built with the gate radius dilated by
+    `reassoc_margin` and reused across re-associations. A MOVEMENT GUARD
+    tracks an upper bound on accumulated point displacement and rebuilds
+    the list once it could exceed the margin — metre-scale alignments
+    (the rescue ICP ladder, localization_node.cpp:222-241, gate sqrt(5),
+    80 iterations) stay exact instead of silently missing neighbours.
+    Fine ICP (cm steps) never triggers the rebuild."""
     center = initial_T[:3, 3]
     TM, TN = config.tile_src, config.tile_tgt
     nSt = source.shape[0] // TM
     gate = config.max_correspondence_dist_sq
 
     pts0_flat = geometry.transform_points(initial_T, source)
-    # the pair list is built once with a dilated radius and reused across
-    # re-associations; points move cm per step, far below the margin
     search_r2 = (math.sqrt(gate) + config.reassoc_margin) ** 2
-    visits, counts, v_overflow = build_visit_lists(
-        pts0_flat, source_mask, target, target_mask, search_r2, TM, TN,
-        config.max_visits,
-    )
     max_pairs = nSt * config.max_pairs_factor
-    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, max_pairs)
-    pair_overflow = v_overflow | (jnp.sum(counts) > max_pairs)
+    # target bboxes are fixed; cache them (original frame) for rebuilds
+    from slam_sensor_fusion_tpu.ops.morton import tile_bboxes
+    from slam_sensor_fusion_tpu.ops.nn_gated import pair_tiles
+
+    lo_t, hi_t, _ = tile_bboxes(target, target_mask, TN)
+
+    def build_pairs(lo_s, hi_s, cnt_s):
+        visits, counts, v_ovf = pair_tiles(
+            lo_s, hi_s, cnt_s, lo_t, hi_t, search_r2, config.max_visits
+        )
+        p_src, p_tgt, n_p = _build_pair_list(visits, counts, max_pairs)
+        return p_src, p_tgt, n_p, v_ovf | (jnp.sum(counts) > max_pairs)
+
+    lo_s0, hi_s0, cnt_s0 = tile_bboxes(pts0_flat, source_mask, TM)
+    pair_src, pair_tgt, n_pairs, pair_overflow = build_pairs(
+        lo_s0, hi_s0, cnt_s0
+    )
     tgt_pages = make_pages(target, target_mask, center, TN)
     pts0 = make_pages(pts0_flat, source_mask, center, TM)
     smask_pages = source_mask.reshape(nSt, TM)
+    cnt_pages = jnp.sum(smask_pages.astype(jnp.int32), axis=1)
+    # working radius for the displacement bound (rebased frame)
+    rho = jnp.sqrt(
+        jnp.maximum(
+            jnp.max(
+                jnp.where(
+                    source_mask,
+                    jnp.sum((pts0_flat - center[None, :]) ** 2, axis=-1),
+                    0.0,
+                )
+            ),
+            0.0,
+        )
+    )
 
-    def associate(pts_pages, alive_w):
+    def associate(pts_pages, alive_w, p_src, p_tgt, n_p):
         d2, _, xyz_pages = pair_nn(
-            pts_pages, tgt_pages, pair_src, pair_tgt, n_pairs, interpret
+            pts_pages, tgt_pages, p_src, p_tgt, n_p, interpret
         )
         d2 = d2[:, 0, :]  # (nSt, TM)
         new_alive = alive_w * (d2 < gate).astype(jnp.float32)
         return d2, xyz_pages, new_alive
 
     alive_init = smask_pages.astype(jnp.float32)
-    d2_0, corr0, alive0 = associate(pts0, alive_init)
+    d2_0, corr0, alive0 = associate(
+        pts0, alive_init, pair_src, pair_tgt, n_pairs
+    )
     n_corr0 = jnp.sum(alive0).astype(jnp.int32)
     enough = n_corr0 >= config.min_correspondences
 
@@ -188,6 +246,22 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
         return (s.i < config.num_iterations) & ~s.done
 
     def body(s: _PState) -> _PState:
+        # movement guard: past the margin, the dilated list may miss true
+        # neighbours; rebuild from the CURRENT point positions
+        def rebuild():
+            lo_r, hi_r = _pages_bboxes(s.pts, smask_pages)
+            p_src, p_tgt, n_p, ovf = build_pairs(
+                lo_r + center[None, :], hi_r + center[None, :], cnt_pages
+            )
+            return p_src, p_tgt, n_p, ovf, jnp.float32(0.0)
+
+        pair_src_c, pair_tgt_c, n_pairs_c, ovf_c, moved_c = jax.lax.cond(
+            s.moved > config.reassoc_margin,
+            rebuild,
+            lambda: (s.pair_src, s.pair_tgt, s.n_pairs,
+                     jnp.bool_(False), s.moved),
+        )
+
         error = _pages_masked_mean_error(s.pts, s.corr, s.alive)
         hit = error < config.acceptable_mean_error
         need = (~hit) & (
@@ -195,7 +269,9 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
         )
         # unconditional association (the kernel costs ~20 us) + select —
         # semantically identical to the reference's lazy re-association
-        _, corr_new, alive_new = associate(s.pts, s.alive)
+        _, corr_new, alive_new = associate(
+            s.pts, s.alive, pair_src_c, pair_tgt_c, n_pairs_c
+        )
         corr_new = jnp.where(alive_new[:, None, :] > 0, corr_new, s.corr)
         corr = jnp.where(need, corr_new, s.corr)
         alive = jnp.where(need, alive_new, s.alive)
@@ -203,6 +279,9 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
         T_step = _pages_kabsch(s.pts, corr, alive)
         T_new = jnp.where(hit, s.T, T_step @ s.T)
         pts_new = jnp.where(hit, s.pts, _pages_transform(T_step, s.pts))
+        moved_new = moved_c + jnp.where(
+            hit, 0.0, _step_displacement_bound(T_step, rho)
+        )
         return _PState(
             i=jnp.where(hit, s.i, s.i + 1),
             T=T_new,
@@ -212,6 +291,11 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
             last_error=error,
             error=error,
             done=hit,
+            pair_src=pair_src_c,
+            pair_tgt=pair_tgt_c,
+            n_pairs=n_pairs_c,
+            moved=moved_new,
+            pair_overflow=s.pair_overflow | ovf_c,
         )
 
     # NOTE: the rebased frame shifts translations by `center`; run the
@@ -229,12 +313,17 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
         last_error=jnp.float32(_F32_MAX),
         error=jnp.float32(_F32_MAX),
         done=~enough,
+        pair_src=pair_src,
+        pair_tgt=pair_tgt,
+        n_pairs=n_pairs,
+        moved=jnp.float32(0.0),
+        pair_overflow=pair_overflow,
     )
     final = jax.lax.while_loop(cond, body, init)
     final_T = shift @ final.T
     return _result(
         enough, final_T, final.last_error, final.i, n_corr0, initial_T, config,
-        pair_overflow=pair_overflow,
+        pair_overflow=final.pair_overflow,
     )
 
 

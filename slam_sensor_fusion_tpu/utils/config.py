@@ -90,6 +90,11 @@ RESCUE_ICP = ICPConfig(
     transformation_epsilon=1e-2,
     # the 2.24 m gate admits many more tiles per source tile
     max_visits=64,
+    max_pairs_factor=32,
+    # metre-scale corrections: the pallas path's movement guard rebuilds
+    # the pair list whenever accumulated motion exceeds this margin
+    # (ops/icp.py _icp_pallas), so staleness cannot drop true neighbours
+    reassoc_margin=0.5,
 )
 
 
