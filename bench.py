@@ -80,6 +80,9 @@ def main() -> None:
         superstep=superstep,
         superstep_slack=slack,
         scan_subsample_step=subsample,
+        # parity mode benches through the superblock shell too (the lazy
+        # fused kernel IS the reference control flow; see config docstring)
+        superblock_parity=os.environ.get("BENCH_LEGACY_PARITY", "0") != "1",
         icp=dataclasses.replace(
             ICPConfig(), mode=icp_mode, reassoc_margin=margin,
             num_iterations=iters, tile_src=tile_src,
@@ -133,7 +136,7 @@ def main() -> None:
     # prestage all chunks on device (the host IO path is not what we bench);
     # pad the final chunk to the common shape with valid=False no-op frames
     # so every chunk reuses ONE compiled program
-    fast = icp_mode == "fast"
+    fast = icp_mode == "fast" or config.superblock_parity
     if fast and chunk % config.superstep:
         chunk += config.superstep - chunk % config.superstep
     build = (

@@ -596,8 +596,12 @@ class Localizer:
         # ---- steady state: chunked device scan ----
         # fast mode streams host-paged frames through the superblock
         # pipeline (models/pipeline_fast.py); parity mode keeps the exact
-        # per-frame step
-        use_fast = cfg.icp.mode == "fast" and cfg.host_preprocess
+        # per-frame step unless superblock_parity opts into the superblock
+        # shell (reference-exact ICP, block-granular re-crop)
+        use_fast = cfg.host_preprocess and (
+            cfg.icp.mode == "fast"
+            or (cfg.icp.mode == "parity" and cfg.superblock_parity)
+        )
         if use_fast:
             from slam_sensor_fusion_tpu.models.pipeline_fast import (
                 build_paged_frames,

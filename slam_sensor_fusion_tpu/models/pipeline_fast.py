@@ -260,6 +260,9 @@ def _superstep(
             icp_cfg,
             interpret=interpret,
             pair_overflow=per.pair_overflow,
+            # parity mode runs the reference's exact lazy control flow in
+            # the same single kernel launch (ops/icp_fused.py lazy=True)
+            lazy=icp_cfg.mode == "parity",
         )
 
         v = per.valid

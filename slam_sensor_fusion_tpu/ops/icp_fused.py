@@ -128,9 +128,22 @@ def _sum_all(x2d):
     return jnp.sum(col, axis=0, keepdims=True)[0, 0]
 
 
-def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
+def _make_fused_kernel(
+    tile_src: int, tile_tgt: int, config: ICPConfig, lazy: bool = False
+):
+    """Whole-ICP kernel.
+
+    lazy=False: fresh correspondences every iteration (native fast mode).
+    lazy=True : the reference's EXACT control flow
+      (icp_point_to_point.cpp:185-254) — correspondences found once at the
+      prior, then FIXED; re-association only when the error improvement
+      drops below transformation_epsilon; the alive set only shrinks; the
+      epsilon criterion triggers re-association, never termination.
+    """
     gate = config.max_correspondence_dist_sq
     num_iterations = config.num_iterations
+    eps = config.transformation_epsilon
+    acc = config.acceptable_mean_error
 
     def kernel(
         pair_src_ref,  # (max_pairs,) SMEM
@@ -143,6 +156,7 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
         stats_ref,  # (1, 128) VMEM: [err, iters, ncorr, detH, ...]
         best_d2_ref,  # scratch (nSt, 1, TM)
         best_xyz_ref,  # scratch (nSt, 3, TM)
+        alive_ref,  # scratch (nSt, 1, TM) f32 (lazy mode only)
     ):
         nSt = src_pages_ref.shape[0]
         ones3 = jnp.ones((3, 1), jnp.float32)
@@ -185,16 +199,16 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
 
             jax.lax.fori_loop(0, n_pairs_ref[0], pair_body, 0)
 
-        def reduce_moments(R, t):
-            """Gated weighted moments over ALL pages in ~25 full-width VPU
-            reductions (a per-tile loop would issue nSt x 5 small ops)."""
+        def reduce_moments(R, t, w):
+            """Weighted moments over ALL pages in ~25 full-width VPU
+            reductions (a per-tile loop would issue nSt x 5 small ops).
+            w (nSt, TM): correspondence weights (fresh: current-gate
+            indicator; lazy: the persistent alive set)."""
             s_all = src_pages_ref[...]  # (nSt, 3, TM)
             sx, sy, sz = s_all[:, 0, :], s_all[:, 1, :], s_all[:, 2, :]
             spx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
             spy = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
             spz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
-            d2 = best_d2_ref[...][:, 0, :]  # (nSt, TM)
-            w = (d2 < gate).astype(jnp.float32)
             tb = best_xyz_ref[...]
             tx, ty, tz = tb[:, 0, :], tb[:, 1, :], tb[:, 2, :]
 
@@ -234,15 +248,29 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
             Eabs = _sum_all(w * jnp.sqrt(dx * dx + dy * dy + dz * dz))
             return W, Ss, St, Mst, Eabs
 
+        def solve_step(W, Ss, St, Mst):
+            """Kabsch step from weighted moments via the Newton polar."""
+            Wc = jnp.maximum(W, 1.0)
+            c_s = Ss / Wc
+            c_t = St / Wc
+            Hm = Mst - W * jnp.outer(c_s, c_t)  # sum w (s-cs)(t-ct)^T
+            # R_step = polar(H^T) (maps source onto target)
+            R_step, polar_ok = _newton_polar(Hm.T)
+            _, detH = _adjugate_transpose_over_det(Hm)
+            t_step = c_t - _mv3(R_step, c_s)
+            return R_step, t_step, polar_ok, detH
+
         T0 = T0_ref[...]
         R0, t0 = T0[:3, :3], T0[:3, 3]
 
-        def iter_body(it, carry):
+        def fresh_iter_body(it, carry):
             R, t, err_prev, n_corr, iters, live, det_min = carry
 
             def do(R=R, t=t):
                 associate(R, t)
-                W, Ss, St, Mst, Eabs = reduce_moments(R, t)
+                d2 = best_d2_ref[...][:, 0, :]
+                w = (d2 < gate).astype(jnp.float32)
+                W, Ss, St, Mst, Eabs = reduce_moments(R, t, w)
                 Wc = jnp.maximum(W, 1.0)
                 # starvation guard: with too few matches the step is
                 # meaningless; report a huge error so the loop stops and
@@ -250,16 +278,10 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
                 err = jnp.where(
                     W >= config.min_correspondences, Eabs / Wc, jnp.float32(_BIG)
                 )
-                c_s = Ss / Wc
-                c_t = St / Wc
-                Hm = Mst - W * jnp.outer(c_s, c_t)  # sum w (s-cs)(t-ct)^T
-                # Kabsch: R_step = polar(H^T) (maps source onto target)
-                R_step, polar_ok = _newton_polar(Hm.T)
-                _, detH = _adjugate_transpose_over_det(Hm)
-                t_step = c_t - _mv3(R_step, c_s)
+                R_step, t_step, polar_ok, detH = solve_step(W, Ss, St, Mst)
                 stop = (
-                    (err < config.acceptable_mean_error)
-                    | (jnp.abs(err_prev - err) < config.transformation_epsilon)
+                    (err < acc)
+                    | (jnp.abs(err_prev - err) < eps)
                     | ~polar_ok  # degenerate moments: no usable step
                 )
                 R_new = jnp.where(stop, R, _mm3(R_step, R))
@@ -279,17 +301,81 @@ def _make_fused_kernel(tile_src: int, tile_tgt: int, config: ICPConfig):
 
             return jax.lax.cond(live, do, skip)
 
-        carry0 = (
-            R0,
-            t0,
-            jnp.float32(_BIG),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.bool_(True),
-            jnp.float32(_BIG),
-        )
+        def lazy_iter_body(it, carry):
+            """One reference iteration (icp_point_to_point.cpp:203-235):
+            error from the FIXED correspondences at the current transform,
+            early exit on acceptable error, plateau-triggered
+            re-association (alive only shrinks), Kabsch step."""
+            R, t, err_prev, n_corr, iters, live, det_min = carry
+
+            def do(R=R, t=t):
+                alive = alive_ref[...][:, 0, :]
+                W, Ss, St, Mst, Eabs = reduce_moments(R, t, alive)
+                err = Eabs / jnp.maximum(W, 1.0)
+                hit = err < acc
+                plateau = jnp.abs(err_prev - err) < eps
+                need = (~hit) & plateau
+
+                def reassoc():
+                    associate(R, t)
+                    d2 = best_d2_ref[...][:, 0, :]
+                    new_alive = alive * (d2 < gate).astype(jnp.float32)
+                    alive_ref[...] = new_alive[:, None, :]
+                    return reduce_moments(R, t, new_alive)
+
+                W2, Ss2, St2, Mst2, _ = jax.lax.cond(
+                    need, reassoc, lambda: (W, Ss, St, Mst, Eabs)
+                )
+                R_step, t_step, polar_ok, detH = solve_step(W2, Ss2, St2, Mst2)
+                stop = hit | ~polar_ok
+                R_new = jnp.where(stop, R, _mm3(R_step, R))
+                t_new = jnp.where(stop, t, _mv3(R_step, t) + t_step)
+                return (
+                    R_new,
+                    t_new,
+                    err,
+                    n_corr,
+                    jnp.where(stop, iters, iters + 1),
+                    ~stop,
+                    jnp.minimum(det_min, detH),
+                )
+
+            def skip():
+                return (R, t, err_prev, n_corr, iters, live, det_min)
+
+            return jax.lax.cond(live, do, skip)
+
+        if lazy:
+            # initial association at the prior; the alive set starts as
+            # the in-gate matches and can only shrink (cpp:193-200)
+            associate(R0, t0)
+            d2_0 = best_d2_ref[...][:, 0, :]
+            alive0 = (d2_0 < gate).astype(jnp.float32)
+            alive_ref[...] = alive0[:, None, :]
+            n_corr0 = _sum_all(alive0).astype(jnp.int32)
+            carry0 = (
+                R0,
+                t0,
+                jnp.float32(_BIG),
+                n_corr0,
+                jnp.int32(0),
+                n_corr0 >= config.min_correspondences,
+                jnp.float32(_BIG),
+            )
+            body = lazy_iter_body
+        else:
+            carry0 = (
+                R0,
+                t0,
+                jnp.float32(_BIG),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.bool_(True),
+                jnp.float32(_BIG),
+            )
+            body = fresh_iter_body
         R, t, err, n_corr, iters, live, det_min = jax.lax.fori_loop(
-            0, num_iterations, iter_body, carry0
+            0, num_iterations, body, carry0
         )
 
         # assemble without .at[].set (scatter has no Mosaic lowering) and
@@ -340,16 +426,19 @@ def _fused_core(
     T0_rebased: Array,
     config: ICPConfig,
     interpret: bool,
+    lazy: bool = False,
 ) -> tuple[Array, Array]:
     """One pallas_call of the whole-ICP kernel on prebuilt pages.
 
     Returns (T_out (4,4) in the rebased frame, stats (1,128)):
-    stats[0, :4] = [mean error, iterations, n_correspondences, det_min].
+    stats[0, :4] = [mean error, iterations, n_correspondences, det_min]
+    (n_correspondences: final gated count in fresh mode, the INITIAL
+    alive count in lazy/parity mode, mirroring icp_point_to_point.cpp).
     """
     nSt, _, TM = src_pages.shape
     TN = tgt_pages.shape[2]
     return pl.pallas_call(
-        _make_fused_kernel(TM, TN, config),
+        _make_fused_kernel(TM, TN, config, lazy),
         grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -370,6 +459,7 @@ def _fused_core(
         scratch_shapes=[
             pltpu.VMEM((nSt, 1, TM), jnp.float32),
             pltpu.VMEM((nSt, 3, TM), jnp.float32),
+            pltpu.VMEM((nSt, 1, TM), jnp.float32),
         ],
         interpret=interpret,
     )(pair_src, pair_tgt, n_pairs[None], T0_rebased, src_pages, tgt_pages)
@@ -410,13 +500,16 @@ def icp_align_fused_paged(
     config: ICPConfig,
     interpret: bool = False,
     pair_overflow: Array | None = None,
+    lazy: bool = False,
 ) -> ICPResult:
     """Fused ICP on host-prebuilt source pages and a precomputed pair list.
 
     The fast pipeline's hot entry point: source pages are packed once in
     the loader (sensor frame, +FAR sentinels) and the pair list for every
     frame of a superblock is built in one vectorized prologue — this call
-    is just the kernel plus result assembly.
+    is just the kernel plus result assembly. lazy=True runs the
+    reference's exact lazy-re-association control flow (parity mode) in
+    the same single kernel launch.
     """
     center = cached_target.center
     eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -424,7 +517,7 @@ def icp_align_fused_paged(
     unshift = geometry.make_T(eye3, -center)
     T_out, stats = _fused_core(
         src_pages, cached_target.pages, pair_src, pair_tgt, n_pairs,
-        unshift @ initial_T, config, interpret,
+        unshift @ initial_T, config, interpret, lazy,
     )
     if pair_overflow is None:
         pair_overflow = jnp.bool_(False)

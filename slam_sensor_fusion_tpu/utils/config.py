@@ -203,6 +203,12 @@ class LocalizationConfig:
     #: lookahead [m] — bounds the accumulated ICP/blend correction between
     #: the odometry-predicted pose and the true per-frame prior
     superstep_slack: float = 0.08
+    #: run parity-mode ICP (the reference's exact lazy control flow, as
+    #: the fused kernel's lazy variant) through the superblock pipeline.
+    #: ICP semantics stay reference-exact; only the map re-crop
+    #: granularity becomes per-block instead of per-frame. False keeps
+    #: the legacy per-frame engine (models/localization.run_chunk).
+    superblock_parity: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -268,3 +268,66 @@ def test_step_displacement_bound_is_sound(rng):
         disp = np.linalg.norm(pts @ T[:3, :3].T + T[:3, 3] - pts, axis=1).max()
         bound = float(_step_displacement_bound(jnp.asarray(T), jnp.float32(rho)))
         assert bound >= disp - 1e-5, (bound, disp)
+
+
+def test_lazy_fused_kernel_matches_parity_xla(rng):
+    """The lazy variant of the fused kernel implements the reference's
+    exact control flow (fixed correspondences, plateau-triggered
+    re-association, shrinking alive set) — it must match the XLA parity
+    engine iterate-for-iterate on the same inputs."""
+    import dataclasses
+    import math
+    from slam_sensor_fusion_tpu.ops.icp_fused import (
+        build_cached_target,
+        icp_align_fused_paged,
+    )
+    from slam_sensor_fusion_tpu.ops.nn_gated import build_visit_lists
+    from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
+    from slam_sensor_fusion_tpu.ops import morton
+
+    cfg = ICPConfig()
+    tgt = morton.sort_points_numpy(make_scene(rng, n=450))
+    T_perturb = small_T(rng, rot=0.05, trans=0.25)
+    src = (tgt - T_perturb[:3, 3]) @ T_perturb[:3, :3]
+    # noise so the error plateaus and triggers the lazy re-association
+    src = morton.sort_points_numpy(
+        src + rng.normal(0, 0.02, src.shape).astype(np.float32)
+    )
+    T0 = jnp.eye(4, dtype=jnp.float32)
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 512)
+
+    cfg_xla = dataclasses.replace(cfg, nn_backend="xla")
+    r_ref = icp_align(s, sm, t, tm, T0, cfg_xla)
+
+    cached = build_cached_target(t, tm, T0[:3, 3], cfg.tile_tgt)
+    pts0 = jnp.einsum("ij,nj->ni", T0[:3, :3], s) + T0[:3, 3]
+    search_r2 = (
+        math.sqrt(cfg.max_correspondence_dist_sq) + cfg.reassoc_margin
+    ) ** 2
+    visits, counts, _ = build_visit_lists(
+        pts0, sm, t, tm, search_r2, cfg.tile_src, cfg.tile_tgt, cfg.max_visits
+    )
+    nSt = 512 // cfg.tile_src
+    p_src, p_tgt, n_pairs = _build_pair_list(
+        visits, counts, nSt * cfg.max_pairs_factor
+    )
+    src_pages = make_pages(
+        s, sm, jnp.zeros(3, jnp.float32), cfg.tile_src, sentinel=1.0e7
+    )
+    r_lazy = icp_align_fused_paged(
+        src_pages, p_src, p_tgt, n_pairs, T0, cached, cfg,
+        interpret=True, lazy=True,
+    )
+
+    assert int(r_lazy.iterations) == int(r_ref.iterations)
+    assert int(r_lazy.n_correspondences) == int(r_ref.n_correspondences)
+    assert bool(r_lazy.has_converged) == bool(r_ref.has_converged)
+    np.testing.assert_allclose(
+        float(r_lazy.error), float(r_ref.error), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_lazy.transformation),
+        np.asarray(r_ref.transformation),
+        atol=5e-4,
+    )

@@ -209,3 +209,41 @@ def test_superblock_recrop_and_overflow_flags():
     assert not np.allclose(
         np.asarray(final.map_T_sensor), np.asarray(state.map_T_sensor)
     )
+
+
+def test_superblock_parity_tracks_legacy_parity_engine():
+    """Parity mode through the superblock shell (lazy fused kernel,
+    block-granular re-crop) must stay within a few cm of the legacy
+    per-frame parity engine on the same sequence — the ICP control flow
+    is identical (test_lazy_fused_kernel_matches_parity_xla); only the
+    re-crop granularity differs."""
+    seq, map_data = build_world_and_sequence(n_frames=16, seed=11)
+    base = dataclasses.replace(TEST_CONFIG, superstep=4)
+
+    runs = {}
+    for name, sb in [("legacy", False), ("superblock", True)]:
+        cfg = dataclasses.replace(base, superblock_parity=sb)
+        loc = Localizer(map_data, cfg)
+        runs[name] = loc.run(
+            seq.scans,
+            seq.odom_T_sensor,
+            seq.gps_lat,
+            seq.gps_lon,
+            seq.gps_alt,
+            seq.compass_yaw,
+            seq.odom_cov_trace,
+            seq.gps_cov_trace,
+            chunk=8,
+        )
+
+    a, b = runs["legacy"], runs["superblock"]
+    va = a.valid & b.valid
+    assert va[5:].all()
+    err_a = ate_rmse(a.map_T_sensor, seq.true_map_T_sensor, va)
+    err_b = ate_rmse(b.map_T_sensor, seq.true_map_T_sensor, va)
+    assert err_b < max(0.12, err_a * 1.5), (err_a, err_b)
+    # frame-by-frame closeness of the two engines
+    d = np.linalg.norm(
+        a.map_T_sensor[va][:, :3, 3] - b.map_T_sensor[va][:, :3, 3], axis=1
+    )
+    assert d.max() < 0.08, f"engines diverge: max {d.max():.3f} m"
