@@ -26,6 +26,124 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_lio() -> None:
+    """Native-mode hardware number (north-star configs 2-3/5): deskewed
+    scan -> point-to-plane GN -> error-state EKF over a rolling keyframe
+    ring (models/lio.py). Prints ONE JSON line like the main bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_sensor_fusion_tpu.models import lio
+    from slam_sensor_fusion_tpu.ops.point_to_plane import PointToPlaneConfig
+    from slam_sensor_fusion_tpu.utils import synthetic as syn
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
+    chunk = int(os.environ.get("BENCH_CHUNK", str(n_frames - 1)))
+    scan_cap = int(os.environ.get("BENCH_LIO_SCAN_CAP", "8192"))
+    on_tpu = any("TPU" in d.device_kind for d in jax.devices())
+    config = lio.LIOConfig(
+        scan_capacity=scan_cap,
+        window=int(os.environ.get("BENCH_LIO_WINDOW", "16")),
+        slot_points=int(os.environ.get("BENCH_LIO_SLOT", "4096")),
+        refresh_every=int(os.environ.get("BENCH_LIO_REFRESH", "8")),
+        p2p=PointToPlaneConfig(
+            nn_backend="pallas" if on_tpu else "xla",
+            num_iterations=int(os.environ.get("BENCH_LIO_ITERS", "4")),
+        ),
+        # registration against the ring map is RELATIVE (the ring drifts
+        # with the estimate); don't let the EKF treat it as a cm-accurate
+        # absolute fix or GPS can never bound the drift
+        # measured sweep (v5e, 511 frames, GPS @ 0.5 m): std 0.03 -> ATE
+        # 1.42 m, 0.1 -> 1.09, 0.3 -> 0.26 (GPS can finally correct)
+        icp_pos_std=float(os.environ.get("BENCH_LIO_ICP_STD", "0.3")),
+    )
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    world = syn.make_world(rng, extent=140.0, n_buildings=70, n_poles=200,
+                           points_per_m2=24.0)
+    poses = syn.make_trajectory(n_frames, speed_per_frame=0.15, radius=30.0)
+    gyro, accel, dts = syn.make_imu(poses, gyro_noise=0.0005, accel_noise=0.005)
+    scans = [
+        syn.render_scan(world, poses[i], rng, max_points=scan_cap, max_range=25.0)
+        for i in range(n_frames)
+    ]
+
+    def pad(pts):
+        buf = np.zeros((scan_cap, 3), np.float32)
+        n = min(len(pts), scan_cap)
+        buf[:n] = pts[:n]
+        m = np.zeros(scan_cap, bool)
+        m[:n] = True
+        return buf, m
+
+    padded = [pad(s) for s in scans]
+    sp = np.stack([p for p, _ in padded])
+    sm = np.stack([m for _, m in padded])
+    state = lio.init_state(
+        config, jnp.asarray(sp[0]), jnp.asarray(sm[0]), jnp.asarray(poses[0])
+    )
+    v0 = (poses[1][:3, 3] - poses[0][:3, 3]) / 0.1
+    state = state._replace(
+        ekf_state=state.ekf_state._replace(v=jnp.asarray(v0, jnp.float32))
+    )
+    # GPS fixes at scan rate (0.5 m noise) — the full native fusion stack
+    # (north-star config 5); pure-LIO drift is unbounded by construction.
+    # BENCH_LIO_GPS=0 benches odometry-only.
+    use_gps = os.environ.get("BENCH_LIO_GPS", "1") != "0"
+    gps_noise = 0.5
+    gps_pos = (
+        poses[1:, :3, 3]
+        + np.random.default_rng(3).normal(0, gps_noise, (n_frames - 1, 3))
+    ).astype(np.float32)
+    gps_valid = np.full(n_frames - 1, use_gps, bool)
+
+    batches = []
+    for i in range(0, n_frames - 1, chunk):
+        j = min(i + chunk, n_frames - 1)
+        batches.append(
+            tuple(
+                jax.device_put(jnp.asarray(a))
+                for a in (
+                    sp[i + 1 : j + 1], sm[i + 1 : j + 1], gyro[i:j],
+                    accel[i:j], dts[i:j], gps_pos[i:j],
+                    np.full(j - i, gps_noise**2, np.float32), gps_valid[i:j],
+                )
+            )
+        )
+
+    log("compiling ...")
+    t0 = time.perf_counter()
+    ws, _ = lio.run_lio_chunk(state, *batches[0], config)
+    np.asarray(ws.ekf_state.p)
+    log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    s = state
+    outs = []
+    for b in batches:
+        s, o = lio.run_lio_chunk(s, *b, config)
+        outs.append(o)
+    np.asarray(s.ekf_state.p)
+    elapsed = time.perf_counter() - t0
+    total = n_frames - 1
+    est = np.concatenate([np.asarray(o.world_T_body) for o in outs])
+    gt = poses[1:]
+    ate = float(np.sqrt(((est[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean()))
+    log(f"frames: {total}  elapsed: {elapsed:.3f}s  ATE-RMSE: {ate:.3f} m")
+    print(
+        json.dumps(
+            {
+                "metric": "LIO scans/sec (deskew+point-to-plane+EKF, native mode)",
+                "value": round(total / elapsed, 2),
+                "unit": "scans/sec",
+                "vs_baseline": round(total / elapsed / 1000.0, 4),
+                "ate_rmse_m": round(ate, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     # persistent compile cache: the heavy scan program compiles once per
     # configuration (~1-8 min on the tunnelled compiler), then loads in
@@ -34,6 +152,17 @@ def main() -> None:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
+    if os.environ.get("BENCH_MODE", "loc") == "lio":
+        bench_lio()
+        return
+    if os.environ.get("BENCH_MODE") == "stress":
+        # capacity-stress at KITTI-like shapes: ~122k raw points/scan,
+        # reference subsample 2 -> 61k device points, 128k-point map crop
+        os.environ.setdefault("BENCH_SCAN_POINTS", "122000")
+        os.environ.setdefault("BENCH_SUBSAMPLE", "2")
+        os.environ.setdefault("BENCH_CROPPED_MAP", "131072")
+        os.environ.setdefault("BENCH_FRAMES", "256")
+        os.environ.setdefault("BENCH_DENSITY", "48.0")
 
     import jax
     import jax.numpy as jnp
@@ -75,7 +204,9 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ICP_ITERS", "10"))
     subsample = int(os.environ.get("BENCH_SUBSAMPLE", "8"))
     tile_src = int(os.environ.get("BENCH_TILE_SRC", "512"))
-    scan_cap = 32768 // subsample
+    raw_points = int(os.environ.get("BENCH_SCAN_POINTS", "24000"))
+    density = float(os.environ.get("BENCH_DENSITY", "24.0"))
+    scan_cap = 1 << max(int(np.ceil(np.log2(max(raw_points // subsample, 1024)))), 10)
     config = LocalizationConfig(
         superstep=superstep,
         superstep_slack=slack,
@@ -94,7 +225,7 @@ def main() -> None:
         capacity=CloudCapacity(
             scan=scan_cap,
             cropped_scan=scan_cap,
-            cropped_map=65536,
+            cropped_map=int(os.environ.get("BENCH_CROPPED_MAP", "65536")),
             map=1 << 20,
             bf_source=1024,
             bf_target=8192,
@@ -108,16 +239,16 @@ def main() -> None:
     log("building synthetic world + sequence ...")
     rng = np.random.default_rng(0)
     world = syn.make_world(rng, extent=140.0, n_buildings=70, n_poles=200,
-                           points_per_m2=24.0)
+                           points_per_m2=density)
     # radius 30 keeps the full circle inside the 140 m world for any
     # sequence length (off-map the reference pipeline diverges identically)
     poses = syn.make_trajectory(n_frames, speed_per_frame=0.15, radius=30.0)
-    seq = syn.make_sequence(seed=0, world=world, poses=poses, scan_points=24000)
+    seq = syn.make_sequence(seed=0, world=world, poses=poses, scan_points=raw_points)
 
     tiles = []
     map_rng = np.random.default_rng(1)
     for i in range(0, n_frames, 4):
-        body = syn.render_scan(world, poses[i], map_rng, max_points=24000, noise=0.005)
+        body = syn.render_scan(world, poses[i], map_rng, max_points=raw_points, noise=0.005)
         tiles.append(body @ poses[i][:3, :3].T + poses[i][:3, 3])
     odom_pos, gps_rows = syn.make_mapping_logs(seq)
     map_data = build_map_data(tiles, odom_pos, gps_rows)
@@ -132,6 +263,26 @@ def main() -> None:
         jnp.asarray(gps_T[0]),
         jnp.asarray(seq.odom_T_sensor[0], jnp.float32),
     )
+
+    # reference-faithful startup: the node NEVER starts fine ICP from a raw
+    # GPS fix — performCoarseAlignment (brute force + rescue ICP) runs
+    # first (localization_node.cpp:200-261,307-315). GPS noise is 0.6 m;
+    # the fine gate is sqrt(0.5)=0.7 m. Outside the timed loop.
+    from slam_sensor_fusion_tpu.models.localization import coarse_attempt
+
+    fb0 = build_frame_batch(
+        config, [seq.scans[1]], seq.odom_T_sensor[1:2], gps_T[1:2],
+        seq.odom_cov_trace[1:2], seq.gps_cov_trace[1:2], np.ones(1, bool),
+    )
+    cm0, ct0, ref0, _, coarse = coarse_attempt(
+        state, fb0.scan_points[0], fb0.scan_mask[0], loc.map_cloud,
+        jnp.asarray(gps_T[0]), config,
+    )
+    state = state._replace(
+        map_T_sensor=coarse.map_T_sensor, cropped_map=cm0,
+        cached_target=ct0, map_T_ref=ref0,
+    )
+    log(f"coarse init: success={bool(coarse.success)} score={float(coarse.score):.3f}")
 
     # prestage all chunks on device (the host IO path is not what we bench);
     # pad the final chunk to the common shape with valid=False no-op frames
@@ -215,7 +366,13 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "registered scans/sec (full per-scan localization loop, synthetic seq)",
+                "metric": (
+                    "registered scans/sec (full per-scan localization loop, "
+                    + ("KITTI-sized scans ~122k raw pts"
+                       if os.environ.get("BENCH_MODE") == "stress"
+                       else "synthetic seq")
+                    + ")"
+                ),
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/sec",
                 "vs_baseline": round(scans_per_sec / 1000.0, 4),

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
+import os
 from typing import NamedTuple
 
 import jax
@@ -53,6 +55,8 @@ from slam_sensor_fusion_tpu.ops.icp_fused import (
 from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
 
 Array = jax.Array
+
+_log = logging.getLogger("slam_sensor_fusion_tpu")
 
 
 class FrameBatch(NamedTuple):
@@ -508,12 +512,29 @@ class Localizer:
         odom_cov_trace: np.ndarray,
         gps_cov_trace: np.ndarray,
         chunk: int = 64,
+        debug_dir: str | None = None,
     ) -> LocalizationResult:
         """Replay a full sequence: startup gating + coarse ladder on the
         host (one jitted attempt per frame, like the reference's per-
-        callback retries), then chunked lax.scan for the steady state."""
+        callback retries), then chunked lax.scan for the steady state.
+
+        With ``config.enable_debug`` this mirrors the reference node's
+        debug branch (localization_node.cpp:348-373): wall-clock "CALLBACK
+        TOOK" logs per chunk (StageTimer), and — when ``debug_dir`` is
+        given — per-chunk export of the transformed cropped scan and the
+        current cropped map (the two debug cloud topics, :354-372) plus a
+        periodically refreshed map/trajectory artifact (the Python twin's
+        5-second map republish, localization_node.py:96,174-183).
+        """
         T = len(scans)
         cfg = self.config
+        timer = None
+        if cfg.enable_debug:
+            from slam_sensor_fusion_tpu.utils.profiling import StageTimer
+
+            timer = StageTimer()
+            if debug_dir is not None:
+                os.makedirs(debug_dir, exist_ok=True)
         valid = np.asarray(gps_alt) >= 0
         gps_T = self.gps_poses(gps_lat, gps_lon, compass_yaw)
 
@@ -612,6 +633,9 @@ class Localizer:
         while i < T:
             j = min(i + chunk, T)
             n = j - i
+            import time as _time
+
+            t_cb = _time.perf_counter()
             if use_fast:
                 pad = (-n) % cfg.superstep
                 def padded(a):
@@ -652,10 +676,76 @@ class Localizer:
             out_iters[i:j] = outs.icp_iterations
             out_conv[i:j] = outs.icp_converged
             out_ncorr[i:j] = outs.n_correspondences
+            if timer is not None:
+                # the reference's "CALLBACK TOOK %f seconds" debug log
+                # (localization_node.cpp:350-353), amortized per frame
+                elapsed = _time.perf_counter() - t_cb
+                timer.stages["chunk"] = timer.stages.get("chunk", 0.0) + elapsed
+                _log.info(
+                    "CALLBACK TOOK %f seconds (chunk of %d frames: %.3fs)",
+                    elapsed / max(n, 1), n, elapsed,
+                )
+                if debug_dir is not None:
+                    self._emit_debug(debug_dir, state, scans, out_T, i, j)
             i = j
 
+        if timer is not None:
+            _log.info("debug timing report:\n%s", timer.report())
         return LocalizationResult(
             out_T, out_valid, out_err, out_iters, out_conv, out_ncorr, first
+        )
+
+    def _emit_debug(
+        self,
+        debug_dir: str,
+        state: PipelineState,
+        scans: list[np.ndarray],
+        out_T: np.ndarray,
+        i: int,
+        j: int,
+    ) -> None:
+        """Debug cloud republication, offline equivalent of the reference's
+        enable_debug branch: the cropped scan transformed into the map frame
+        and the current cropped map (localization_node.cpp:354-372), plus a
+        refreshed map + trajectory artifact standing in for the Python
+        twin's 5-second map republish timer (localization_node.py:96,174-183).
+        """
+        from slam_sensor_fusion_tpu.utils import viz
+
+        cfg = self.config
+        k = j - 1  # last frame of the chunk
+        sc = np.asarray(scans[k], np.float32).reshape(-1, 3)
+        if cfg.scan_subsample_step > 1 and len(sc) >= cfg.scan_subsample_step:
+            sc = sc[:: cfg.scan_subsample_step]
+        keep = np.linalg.norm(sc, axis=1) <= cfg.cloud_crop_radius
+        T_k = out_T[k]
+        scan_map = sc[keep] @ T_k[:3, :3].T + T_k[:3, 3]
+        viz.write_ply(
+            os.path.join(debug_dir, "cropped_scan_map_frame.ply"),
+            scan_map,
+            color=(255, 80, 40),
+        )
+        cm_pts = np.asarray(state.cropped_map.points)
+        cm_msk = np.asarray(state.cropped_map.mask)
+        viz.write_ply(
+            os.path.join(debug_dir, "cropped_map.ply"),
+            cm_pts[cm_msk],
+            color=(120, 160, 255),
+        )
+        map_path = os.path.join(debug_dir, "map.ply")
+        if not os.path.exists(map_path):
+            viz.write_ply(map_path, self.map_data.map_points)
+        viz.plot_topdown(
+            os.path.join(debug_dir, "trajectory.svg"),
+            out_T[: j],
+            map_points=self.map_data.map_points,
+        )
+        # interactive replay viewer (rviz-config equivalent, SURVEY C15)
+        viz.write_html_viewer(
+            os.path.join(debug_dir, "viewer.html"),
+            map_points=self.map_data.map_points,
+            est_poses=out_T[: j],
+            scan_points=scan_map,
         )
 
     @staticmethod

@@ -75,6 +75,10 @@ class LiteOutput(NamedTuple):
     map_T_sensor_coarse: Array
     icp_error: Array
     n_correspondences: Array
+    #: bool — the OBB map crop produced zero points; the twin then skips
+    #: the WHOLE frame ("not localizing", localization_node.py:226-228):
+    #: neither map_T_sensor nor odom_previous_T_sensor is updated
+    cropped_map_empty: Array
 
 
 def init_state(first_gps_pose: Array, first_odom_pose: Array) -> LiteState:
@@ -117,14 +121,23 @@ def lite_step(
         coarse, config.icp,
     )
 
+    # empty cropped map -> the frame is a FULL no-op: the twin warns and
+    # returns before the ICP, the publish, AND the odom_previous update
+    # (localization_node.py:226-228,248-255); the next frame's odometry
+    # delta is therefore taken against the older previous pose
+    empty = cropped_map.count() == 0
     new_state = LiteState(
-        map_T_sensor=res.transformation, odom_T_sensor_previous=odom_T_sensor
+        map_T_sensor=jnp.where(empty, state.map_T_sensor, res.transformation),
+        odom_T_sensor_previous=jnp.where(
+            empty, state.odom_T_sensor_previous, odom_T_sensor
+        ),
     )
     return new_state, LiteOutput(
-        map_T_sensor=res.transformation,
+        map_T_sensor=new_state.map_T_sensor,
         map_T_sensor_coarse=coarse,
-        icp_error=res.error,
-        n_correspondences=res.n_correspondences,
+        icp_error=jnp.where(empty, jnp.float32(0.0), res.error),
+        n_correspondences=jnp.where(empty, 0, res.n_correspondences),
+        cropped_map_empty=empty,
     )
 
 

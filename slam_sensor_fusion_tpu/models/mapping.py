@@ -108,16 +108,98 @@ def solve_map_T_global(
     return map_T_global
 
 
+def standstill_prefix_count(
+    odom_positions: np.ndarray,
+    config: MappingConfig = MappingConfig(),
+) -> int:
+    """The Python builder's calibration-pose selection: count the
+    CONSECUTIVE INITIAL odometry rows with full 3D norm below 0.5 m,
+    stopping at the first row that exceeds it
+    (optimize_global_map_pose.py:21-32 `load_odom_positions`).
+
+    This differs from the C++ node's filter (solve_map_T_global above):
+    xy-only vs 3D norm, 0.1 vs 0.5 m, scattered-keep vs prefix-break,
+    and no altitude > 0 requirement.
+    """
+    odom_positions = np.asarray(odom_positions, np.float64).reshape(-1, 3)
+    norms = np.linalg.norm(odom_positions, axis=1)
+    moving = norms >= config.prefix_standstill_norm
+    return int(np.argmax(moving)) if moving.any() else len(norms)
+
+
+def solve_map_T_global_prefix(
+    odom_positions: np.ndarray,
+    gps_imu_rows: np.ndarray,
+    config: MappingConfig = MappingConfig(),
+) -> np.ndarray:
+    """map_T_global as the PYTHON map builder solves it
+    (optimize_global_map_pose.py:68-99 `optimize_map_T_global`).
+
+    Differences from the C++ solve (solve_map_T_global):
+
+    * calibration poses are the standstill PREFIX (3D norm < 0.5 m,
+      break at the first mover; :21-32) min'd with the GPS row count and
+      the 50-pose cap (:75-77) — not the C++ scattered odom-xy/alt filter;
+    * attitude rows carry full (roll, pitch, yaw) euler-XYZ angles
+      (:39-45 "lat lon alt r p y"), meaned per-component and turned into
+      a rotation via R.from_euler('xyz') (:80-84) — 4-column C++-format
+      rows (lat, lon, alt, yaw) are accepted as (0, 0, yaw);
+    * altitudes are used unfiltered (no alt > 0 gate).
+    """
+    odom_positions = np.asarray(odom_positions, np.float64).reshape(-1, 3)
+    gps_imu_rows = np.asarray(gps_imu_rows, np.float64)
+    if gps_imu_rows.ndim == 1:
+        gps_imu_rows = gps_imu_rows.reshape(1, -1)
+    if gps_imu_rows.shape[1] == 4:  # C++ log format: lat lon alt yaw
+        rpy = np.zeros((len(gps_imu_rows), 3))
+        rpy[:, 2] = gps_imu_rows[:, 3]
+    else:  # python format: lat lon alt r p y
+        rpy = gps_imu_rows[:, 3:6]
+
+    n_poses = min(
+        standstill_prefix_count(odom_positions, config),
+        len(gps_imu_rows),
+        config.max_map_optimization_poses,
+    )
+    if n_poses == 0:
+        return np.eye(4)
+
+    mean_rpy = rpy[:n_poses].mean(axis=0)
+    e, nn = ll_to_utm(gps_imu_rows[:n_poses, 0], gps_imu_rows[:n_poses, 1])
+    mean_t = np.stack([e, nn, gps_imu_rows[:n_poses, 2]], axis=1).mean(axis=0)
+
+    # R.from_euler('xyz', rpy) == Rz(y) @ Ry(p) @ Rx(r) (extrinsic xyz)
+    r, p, y = mean_rpy
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    global_R_map = _rot_z(y) @ Ry @ Rx
+
+    global_T_map = np.eye(4)
+    global_T_map[:3, :3] = global_R_map
+    global_T_map[:3, 3] = mean_t
+    return np.linalg.inv(global_T_map)
+
+
 def build_map_data(
     tiles: list[np.ndarray],
     odom_positions: np.ndarray,
     gps_rows: np.ndarray,
     config: MappingConfig = MappingConfig(),
+    use_prefix_solver: bool = False,
 ) -> MapData:
-    """One-stop map build from a mapping run's artifacts."""
+    """One-stop map build from a mapping run's artifacts.
+
+    ``use_prefix_solver=True`` selects the Python builder's datum solve
+    (standstill-prefix calibration poses + euler-mean attitude,
+    optimize_global_map_pose.py:68-99) instead of the C++ node's
+    (global_map_frames_manager.cpp:182-248).
+    """
+    solve = solve_map_T_global_prefix if use_prefix_solver else solve_map_T_global
     return MapData(
         map_points=merge_tiles(tiles, config.map_voxel_size),
-        map_T_global=solve_map_T_global(odom_positions, gps_rows, config),
+        map_T_global=solve(odom_positions, gps_rows, config),
         altitude_table=build_altitude_table(gps_rows),
     )
 

@@ -226,3 +226,8 @@ class MappingConfig:
     #: (global_map_frames_manager.cpp:168: odom xy-norm < 0.1)
     standstill_xy_norm: float = 0.1
     max_map_optimization_poses: int = 50
+    #: the PYTHON builder's standstill criterion differs from the C++
+    #: node's: it counts the CONSECUTIVE INITIAL poses whose full 3D
+    #: odometry norm is < 0.5 m and stops at the first mover
+    #: (optimize_global_map_pose.py:19,21-32) — no altitude filter
+    prefix_standstill_norm: float = 0.5

@@ -13,14 +13,17 @@ the filter's composition-order inconsistency.
 from __future__ import annotations
 
 import numpy as np
+from scipy.spatial import cKDTree
 
 
-def nn_oracle(src: np.ndarray, tgt: np.ndarray):
+def nn_oracle(src: np.ndarray, tgt: np.ndarray, tree: cKDTree | None = None):
     """Exact NN: squared distances + indices (what PCL nearestKSearch(1)
-    returns)."""
-    d2 = ((src[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
-    idx = d2.argmin(1)
-    return d2[np.arange(len(src)), idx], idx
+    returns). Backed by a kd-tree — still exact, just not O(S*T); pass a
+    prebuilt ``tree`` over ``tgt`` to amortize across calls."""
+    if tree is None:
+        tree = cKDTree(tgt)
+    d, idx = tree.query(src, k=1)
+    return d * d, idx
 
 
 def transform(T: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -54,8 +57,9 @@ def icp_oracle(
     transformation_epsilon: float = 1e-5,
 ):
     """Faithful dynamic-shape port of ICPPointToPoint::calculateAlignment."""
+    tree = cKDTree(target)
     pts = transform(T0, source)
-    d2, idx = nn_oracle(pts, target)
+    d2, idx = nn_oracle(pts, target, tree)
     keep = d2 < max_corr_d2
     pts = pts[keep]
     corr = target[idx[keep]]
@@ -72,7 +76,7 @@ def icp_oracle(
             last_error = error
             break
         if abs(last_error - error) < transformation_epsilon:
-            d2, idx = nn_oracle(pts, target)
+            d2, idx = nn_oracle(pts, target, tree)
             keep = d2 < max_corr_d2
             pts = pts[keep]
             corr = target[idx[keep]]
@@ -150,6 +154,7 @@ def brute_force_oracle(source, target, guess, cfg):
     yaws = outward_sequence_oracle(cfg.yaw_range, cfg.yaw_step)
     best_T = np.eye(4)
     best_score = np.inf
+    tree = cKDTree(target)
     for x in xs:
         for y in ys:
             for z in zs:
@@ -159,7 +164,7 @@ def brute_force_oracle(source, target, guess, cfg):
                     T[:3, 3] = [x, y, z]
                     T = guess @ T
                     pts = transform(T, source)
-                    d2, _ = nn_oracle(pts, target)
+                    d2, _ = nn_oracle(pts, target, tree)
                     score = d2.mean()
                     if score < best_score:
                         best_score = score

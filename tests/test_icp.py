@@ -331,3 +331,29 @@ def test_lazy_fused_kernel_matches_parity_xla(rng):
         np.asarray(r_ref.transformation),
         atol=5e-4,
     )
+
+
+def test_icp_pair_overflow_flag_fires_when_forced(rng):
+    """ICPResult.pair_overflow (silent-truncation observability): a
+    deliberately starved pair-list budget MUST raise the flag on the
+    pallas path (ops/icp.py build_pairs), and an ample budget clears it."""
+    import dataclasses
+
+    tgt = make_scene(rng, n=450)
+    src = tgt + rng.normal(0, 0.02, tgt.shape).astype(np.float32)
+    T0 = jnp.eye(4)
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 512)
+
+    starved = dataclasses.replace(
+        ICPConfig(), nn_backend="pallas", pallas_interpret=True,
+        tile_src=64, tile_tgt=64, max_pairs_factor=1, max_visits=64,
+        # a wide gate admits many target tiles per source tile
+        max_correspondence_dist_sq=100.0,
+    )
+    r = icp_align(s, sm, t, tm, T0, starved)
+    assert bool(r.pair_overflow)
+
+    ample = dataclasses.replace(starved, max_pairs_factor=64)
+    r_ok = icp_align(s, sm, t, tm, T0, ample)
+    assert not bool(r_ok.pair_overflow)

@@ -61,3 +61,54 @@ def test_lite_pipeline_tracks(rng):
     # the twin has no gating and a narrow forward box: looser tolerance
     assert err.mean() < 0.3, err
     assert err[-1] < 0.4, err
+
+
+def test_lite_empty_crop_is_full_noop(rng):
+    """Empty OBB map crop -> the twin skips the WHOLE frame: neither
+    map_T_sensor nor odom_previous_T_sensor updates
+    (localization_node.py:226-228)."""
+    import dataclasses
+    cfg = dataclasses.replace(lite.LiteConfig(), scan_capacity=256)
+    # map far away from the coarse pose -> OBB crop is empty
+    map_cloud = cl.from_numpy(
+        rng.uniform(500.0, 520.0, (200, 3)).astype(np.float32), 256
+    )
+    scan = rng.uniform(1.0, 10.0, (100, 3)).astype(np.float32)
+    buf = np.zeros((256, 3), np.float32)
+    buf[:100] = scan
+    msk = np.zeros(256, bool)
+    msk[:100] = True
+
+    T0 = np.eye(4, dtype=np.float32)
+    odom_prev = np.eye(4, dtype=np.float32)
+    odom_prev[:3, 3] = [1.0, 2.0, 0.0]
+    state = lite.init_state(jnp.asarray(T0), jnp.asarray(odom_prev))
+
+    odom_cur = np.eye(4, dtype=np.float32)
+    odom_cur[:3, 3] = [1.5, 2.0, 0.0]
+    gps_T = np.eye(4, dtype=np.float32)
+    gps_T[:3, 3] = [0.4, 0.1, 0.0]
+
+    new_state, out = lite.lite_step(
+        state, jnp.asarray(buf), jnp.asarray(msk),
+        jnp.asarray(odom_cur), jnp.asarray(gps_T), map_cloud, cfg,
+    )
+    assert bool(out.cropped_map_empty)
+    np.testing.assert_array_equal(np.asarray(new_state.map_T_sensor), T0)
+    # odom_previous must stay at the OLD value (the twin returns before
+    # the update at :248-250)
+    np.testing.assert_array_equal(
+        np.asarray(new_state.odom_T_sensor_previous), odom_prev
+    )
+    np.testing.assert_array_equal(np.asarray(out.map_T_sensor), T0)
+
+    # a frame with map in range does update both
+    near_map = cl.from_numpy(rng.uniform(0.0, 12.0, (200, 3)).astype(np.float32), 256)
+    new_state2, out2 = lite.lite_step(
+        state, jnp.asarray(buf), jnp.asarray(msk),
+        jnp.asarray(odom_cur), jnp.asarray(gps_T), near_map, cfg,
+    )
+    assert not bool(out2.cropped_map_empty)
+    np.testing.assert_array_equal(
+        np.asarray(new_state2.odom_T_sensor_previous), odom_cur
+    )

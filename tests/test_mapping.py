@@ -103,3 +103,67 @@ def test_streaming_mapper_tiles_and_flush(rng):
     assert len(m.tiles) == 3  # residual flushed on shutdown
     assert md.map_points.shape[0] > 0
     assert md.altitude_table.shape[0] == 25
+
+
+def test_standstill_prefix_count_breaks_at_first_mover():
+    odom = np.zeros((10, 3))
+    odom[3] = [0.0, 0.3, 0.3]  # 3D norm 0.42 < 0.5 -> still standstill
+    odom[6] = [0.6, 0.0, 0.0]  # first mover
+    odom[8] = [0.0, 0.0, 0.0]  # later standstill must NOT count (prefix only)
+    assert mp.standstill_prefix_count(odom) == 6
+    assert mp.standstill_prefix_count(np.zeros((4, 3))) == 4
+    assert mp.standstill_prefix_count(np.full((4, 3), 9.0)) == 0
+
+
+def test_prefix_solver_matches_python_builder_oracle():
+    """solve_map_T_global_prefix vs a scipy oracle of the reference's
+    MapBuilder.optimize_map_T_global (optimize_global_map_pose.py:68-99):
+    prefix-count pose selection, per-component euler mean, UTM-mean
+    translation, inversion."""
+    from scipy.spatial.transform import Rotation as R
+
+    rng = np.random.default_rng(7)
+    n = 30
+    odom = rng.normal(0, 0.1, (n, 3))
+    odom[12:] += 3.0  # prefix = 12 standstill poses
+    rows = np.zeros((n, 6))
+    rows[:, 0] = 47.5 + rng.normal(0, 1e-6, n)
+    rows[:, 1] = 9.0 + rng.normal(0, 1e-6, n)
+    rows[:, 2] = 400.0 + rng.normal(0, 0.2, n)
+    rows[:, 3:6] = rng.normal([0.02, -0.01, 0.8], 0.01, (n, 3))
+
+    got = mp.solve_map_T_global_prefix(odom, rows)
+
+    n_poses = 12
+    mean_rpy = rows[:n_poses, 3:6].mean(axis=0)
+    e, nn = ll_to_utm(rows[:n_poses, 0], rows[:n_poses, 1])
+    mean_t = np.stack([e, nn, rows[:n_poses, 2]], axis=1).mean(axis=0)
+    g_T_m = np.eye(4)
+    g_T_m[:3, :3] = R.from_euler("xyz", mean_rpy).as_matrix()
+    g_T_m[:3, 3] = mean_t
+    np.testing.assert_allclose(got, np.linalg.inv(g_T_m), atol=1e-9)
+
+    # 4-column C++-format rows are accepted as yaw-only
+    rows4 = rows[:, [0, 1, 2, 5]]
+    got4 = mp.solve_map_T_global_prefix(odom, rows4)
+    mean_yaw = rows4[:n_poses, 3].mean()
+    g_T_m[:3, :3] = R.from_euler("xyz", [0.0, 0.0, mean_yaw]).as_matrix()
+    np.testing.assert_allclose(got4, np.linalg.inv(g_T_m), atol=1e-9)
+
+    # 50-pose cap (optimize_global_map_pose.py:15,75-77)
+    long_odom = np.zeros((80, 3))
+    long_rows = np.tile(rows[0], (80, 1))
+    long_rows[50:, 2] = 1e6  # must be ignored past the cap
+    capped = mp.solve_map_T_global_prefix(long_odom, long_rows)
+    ref = mp.solve_map_T_global_prefix(long_odom[:50], long_rows[:50])
+    np.testing.assert_allclose(capped, ref, atol=1e-12)
+
+
+def test_build_map_data_prefix_solver_flag(rng):
+    t = rng.uniform(0, 5, (200, 3)).astype(np.float32)
+    odom = np.zeros((10, 3))
+    rows = np.tile([47.5, 9.0, 400.0, 0.3], (10, 1))
+    md_cpp = mp.build_map_data([t], odom, rows)
+    md_py = mp.build_map_data([t], odom, rows, use_prefix_solver=True)
+    # same standstill data -> both datums agree (yaw-only rows)
+    np.testing.assert_allclose(md_py.map_T_global, md_cpp.map_T_global, atol=1e-9)

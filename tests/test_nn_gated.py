@@ -99,3 +99,26 @@ def test_gated_empty_target(rng):
     res = gated_nn(cs.points, cs.mask, ct.points, ct.mask, jnp.zeros(3), 0.5,
                    tile_src=128, tile_tgt=256, max_visits=8)
     assert (np.asarray(res.d2) > 1e30).all()
+
+
+def test_visit_overflow_flag_fires_when_forced(rng):
+    """Silent-truncation observability (ops/nn_gated.py build_visit_lists):
+    a deliberately tiny max_visits on a wide gate MUST raise the flag —
+    and exactness inside the gate is then no longer guaranteed."""
+    src = rng.uniform(-10, 10, (2048, 3)).astype(np.float32)
+    tgt = rng.uniform(-10, 10, (8192, 3)).astype(np.float32)
+    cs = sorted_cloud(src, 2048)
+    ct = sorted_cloud(tgt, 8192)
+    # huge radius -> every source tile admits (almost) every target tile;
+    # max_visits=1 cannot hold them
+    res = gated_nn(
+        cs.points, cs.mask, ct.points, ct.mask, jnp.zeros(3), 400.0,
+        tile_src=256, tile_tgt=512, max_visits=1,
+    )
+    assert bool(res.visit_overflow)
+    # ample budget on the same inputs -> flag clears
+    res_ok = gated_nn(
+        cs.points, cs.mask, ct.points, ct.mask, jnp.zeros(3), 400.0,
+        tile_src=256, tile_tgt=512, max_visits=16,
+    )
+    assert not bool(res_ok.visit_overflow)

@@ -50,3 +50,28 @@ def test_kitti_bin_and_poses(tmp_path, rng):
     assert len(ks.scans) == 2
     np.testing.assert_allclose(ks.scans[0], pts[:, :3])
     np.testing.assert_allclose(ks.poses[1, 0, 3], 1.5)
+
+
+def test_html_viewer_export(tmp_path, rng):
+    from slam_sensor_fusion_tpu.utils.viz import write_html_viewer
+
+    map_pts = rng.uniform(-20, 20, (5000, 3)).astype(np.float32)
+    n = 30
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 10, n)
+    p = tmp_path / "viewer.html"
+    write_html_viewer(
+        str(p), map_points=map_pts, est_poses=poses, gt_poses=poses,
+        gps_poses=poses, odom_poses=poses,
+        scan_points=map_pts[:500], max_points=2000,
+    )
+    html = p.read_text()
+    # self-contained: data embedded, no external resources
+    assert "map_T_sensor (fine)" in html
+    assert "ground truth" in html and "odom_T_sensor" in html
+    assert "http" not in html.split("xmlns")[0]  # no external fetches
+    assert len(html) < 3_000_000  # decimation bounds the payload
+    # degenerate call still writes a valid file
+    p2 = tmp_path / "empty.html"
+    write_html_viewer(str(p2))
+    assert "clouds" in p2.read_text()
