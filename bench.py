@@ -41,13 +41,18 @@ def bench_lio() -> None:
     chunk = int(os.environ.get("BENCH_CHUNK", str(n_frames - 1)))
     scan_cap = int(os.environ.get("BENCH_LIO_SCAN_CAP", "8192"))
     on_tpu = any("TPU" in d.device_kind for d in jax.devices())
+    # fused = whole-GN single-kernel registration (ops/p2p_fused.py) driven
+    # by run_lio_blocks (refresh hoisted out of the frame loop)
+    backend = os.environ.get(
+        "BENCH_LIO_BACKEND", "fused" if on_tpu else "xla"
+    )
     config = lio.LIOConfig(
         scan_capacity=scan_cap,
         window=int(os.environ.get("BENCH_LIO_WINDOW", "16")),
         slot_points=int(os.environ.get("BENCH_LIO_SLOT", "4096")),
         refresh_every=int(os.environ.get("BENCH_LIO_REFRESH", "8")),
         p2p=PointToPlaneConfig(
-            nn_backend="pallas" if on_tpu else "xla",
+            nn_backend=backend,
             num_iterations=int(os.environ.get("BENCH_LIO_ITERS", "4")),
         ),
         # registration against the ring map is RELATIVE (the ring drifts
@@ -114,7 +119,7 @@ def bench_lio() -> None:
 
     log("compiling ...")
     t0 = time.perf_counter()
-    ws, _ = lio.run_lio_chunk(state, *batches[0], config)
+    ws, _ = lio.run_lio_blocks(state, *batches[0], config)
     np.asarray(ws.ekf_state.p)
     log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
 
@@ -122,7 +127,7 @@ def bench_lio() -> None:
     s = state
     outs = []
     for b in batches:
-        s, o = lio.run_lio_chunk(s, *b, config)
+        s, o = lio.run_lio_blocks(s, *b, config)
         outs.append(o)
     np.asarray(s.ekf_state.p)
     elapsed = time.perf_counter() - t0
@@ -163,6 +168,10 @@ def main() -> None:
         os.environ.setdefault("BENCH_CROPPED_MAP", "131072")
         os.environ.setdefault("BENCH_FRAMES", "256")
         os.environ.setdefault("BENCH_DENSITY", "48.0")
+        # measured sweep at these shapes (v5e): tile_src 256 -> 290.6,
+        # 512 -> 385.7, 1024 -> 423.1 scans/s (fewer pair-loop trips);
+        # tile_tgt 512 stays best (256 -> 423.1, 1024 -> 414.9)
+        os.environ.setdefault("BENCH_TILE_SRC", "1024")
 
     import jax
     import jax.numpy as jnp
@@ -217,6 +226,7 @@ def main() -> None:
         icp=dataclasses.replace(
             ICPConfig(), mode=icp_mode, reassoc_margin=margin,
             num_iterations=iters, tile_src=tile_src,
+            tile_tgt=int(os.environ.get("BENCH_TILE_TGT", "512")),
             max_visits=int(os.environ.get("BENCH_MAX_VISITS", "128")),
             max_pairs_factor=int(os.environ.get("BENCH_PAIRS_FACTOR", "128")),
         ),

@@ -33,6 +33,11 @@ from slam_sensor_fusion_tpu.models import ekf
 from slam_sensor_fusion_tpu.ops import cloud as cl
 from slam_sensor_fusion_tpu.ops import geometry
 from slam_sensor_fusion_tpu.ops.morton import sort_by_morton
+from slam_sensor_fusion_tpu.ops.p2p_fused import (
+    CachedP2PTarget,
+    build_cached_p2p_target,
+    point_to_plane_align_fused,
+)
 from slam_sensor_fusion_tpu.ops.point_to_plane import (
     PointToPlaneConfig,
     estimate_normals,
@@ -66,6 +71,9 @@ class LIOState(NamedTuple):
     anchor_mask: Array
     anchor_normals: Array
     anchor_normals_valid: Array
+    #: fused-kernel target cache (6-row xyz+normal pages + tile bboxes),
+    #: rebuilt with the anchor; unused by the XLA/pallas backends
+    anchor_cache: CachedP2PTarget
 
 
 class LIOOutput(NamedTuple):
@@ -74,6 +82,22 @@ class LIOOutput(NamedTuple):
     n_correspondences: Array
     refreshed: Array
     gps_accepted: Array
+
+
+def _refresh_anchor(
+    ring: Array, ring_mask: Array, center: Array, config: LIOConfig
+):
+    """Morton sort + normal estimation + fused-kernel cache for the
+    current ring contents. Returns the four anchor arrays + the cache."""
+    anchor = sort_by_morton(cl.Cloud(ring, ring_mask))
+    normals, nvalid = estimate_normals(
+        anchor.points, anchor.mask, config.normal_voxel
+    )
+    cache = build_cached_p2p_target(
+        anchor.points, anchor.mask, normals, nvalid, center,
+        config.p2p.tile_tgt,
+    )
+    return anchor.points, anchor.mask, normals, nvalid, cache
 
 
 def init_state(
@@ -93,9 +117,8 @@ def init_state(
     ring = jax.lax.dynamic_update_slice(ring, seeded.points, (0, 0))
     ring_mask = jax.lax.dynamic_update_slice(ring_mask, seeded.mask, (0,))
 
-    anchor = sort_by_morton(cl.Cloud(ring, ring_mask))
-    normals, nvalid = estimate_normals(
-        anchor.points, anchor.mask, config.normal_voxel
+    a_pts, a_msk, normals, nvalid, cache = _refresh_anchor(
+        ring, ring_mask, world_T_body0[:3, 3], config
     )
     e0 = ekf.init_state(
         config.ekf, p0=world_T_body0[:3, 3], R0=world_T_body0[:3, :3]
@@ -106,27 +129,28 @@ def init_state(
         ring_mask=ring_mask,
         slot=jnp.int32(1),
         frame=jnp.int32(1),
-        anchor_points=anchor.points,
-        anchor_mask=anchor.mask,
+        anchor_points=a_pts,
+        anchor_mask=a_msk,
         anchor_normals=normals,
         anchor_normals_valid=nvalid,
+        anchor_cache=cache,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def lio_step(
+def _frame_step(
     state: LIOState,
-    scan_points: Array,  # (scan_capacity, 3) deskewed body-frame points
+    scan_points: Array,
     scan_mask: Array,
-    imu_gyro: Array,  # (K, 3)
-    imu_accel: Array,  # (K, 3)
-    imu_dt: Array,  # (K,)
-    gps_pos: Array,  # (3,) world position (rebased), used when gps_valid
+    imu_gyro: Array,
+    imu_accel: Array,
+    imu_dt: Array,
+    gps_pos: Array,
     gps_var: Array,
     gps_valid: Array,
-    config: LIOConfig = LIOConfig(),
-) -> tuple[LIOState, LIOOutput]:
-    """One LIO frame: propagate, register, fuse, map-update."""
+    config: LIOConfig,
+) -> tuple[LIOState, LIOOutput, Array]:
+    """Propagate + register + fuse + ring insert — everything EXCEPT the
+    anchor refresh (the drivers decide when to refresh)."""
     # 1) IMU propagation gives the registration prior
     e = ekf.propagate_batch(
         state.ekf_state, imu_gyro, imu_accel, imu_dt, config.ekf
@@ -134,16 +158,26 @@ def lio_step(
     prior_T = ekf.pose_matrix(e)
 
     # 2) scan-to-map point-to-plane GN
-    reg = point_to_plane_align(
-        scan_points,
-        scan_mask,
-        state.anchor_points,
-        state.anchor_mask,
-        state.anchor_normals,
-        state.anchor_normals_valid,
-        prior_T,
-        config.p2p,
-    )
+    if config.p2p.nn_backend == "fused":
+        reg = point_to_plane_align_fused(
+            scan_points,
+            scan_mask,
+            state.anchor_cache,
+            prior_T,
+            config.p2p,
+            interpret=config.p2p.pallas_interpret,
+        )
+    else:
+        reg = point_to_plane_align(
+            scan_points,
+            scan_mask,
+            state.anchor_points,
+            state.anchor_mask,
+            state.anchor_normals,
+            state.anchor_normals_valid,
+            prior_T,
+            config.p2p,
+        )
 
     # 3) EKF fusion: registration pose update + gated GPS
     e = ekf.update_pose(e, reg.transformation, config.icp_pos_std, config.icp_rot_std)
@@ -160,15 +194,52 @@ def lio_step(
     ring = jax.lax.dynamic_update_slice(state.ring, slot_cloud.points, (offset, 0))
     ring_mask = jax.lax.dynamic_update_slice(state.ring_mask, slot_cloud.mask, (offset,))
 
-    # 5) anchor refresh (amortized): Morton sort + normals
+    new_state = state._replace(
+        ekf_state=e,
+        ring=ring,
+        ring_mask=ring_mask,
+        slot=state.slot + 1,
+        frame=state.frame + 1,
+    )
+    out = LIOOutput(
+        world_T_body=world_T_body,
+        rmse=reg.rmse,
+        n_correspondences=reg.n_correspondences,
+        refreshed=jnp.bool_(False),
+        gps_accepted=accepted & gps_valid,
+    )
+    return new_state, out, world_T_body
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def lio_step(
+    state: LIOState,
+    scan_points: Array,  # (scan_capacity, 3) deskewed body-frame points
+    scan_mask: Array,
+    imu_gyro: Array,  # (K, 3)
+    imu_accel: Array,  # (K, 3)
+    imu_dt: Array,  # (K,)
+    gps_pos: Array,  # (3,) world position (rebased), used when gps_valid
+    gps_var: Array,
+    gps_valid: Array,
+    config: LIOConfig = LIOConfig(),
+) -> tuple[LIOState, LIOOutput]:
+    """One LIO frame: propagate, register, fuse, map-update, and the
+    amortized anchor refresh under `lax.cond` (the reference's re-crop
+    cadence, localization_node.cpp:299-305). `run_lio_blocks` is the
+    throughput driver — it hoists the refresh out of the frame loop."""
+    new_state, out, world_T_body = _frame_step(
+        state, scan_points, scan_mask, imu_gyro, imu_accel, imu_dt,
+        gps_pos, gps_var, gps_valid, config,
+    )
+
+    # 5) anchor refresh (amortized): Morton sort + normals + fused cache
     refresh = (state.frame % config.refresh_every) == 0
 
     def do_refresh():
-        anchor = sort_by_morton(cl.Cloud(ring, ring_mask))
-        normals, nvalid = estimate_normals(
-            anchor.points, anchor.mask, config.normal_voxel
+        return _refresh_anchor(
+            new_state.ring, new_state.ring_mask, world_T_body[:3, 3], config
         )
-        return anchor.points, anchor.mask, normals, nvalid
 
     def keep():
         return (
@@ -176,29 +247,18 @@ def lio_step(
             state.anchor_mask,
             state.anchor_normals,
             state.anchor_normals_valid,
+            state.anchor_cache,
         )
 
-    a_pts, a_msk, a_nrm, a_nvl = jax.lax.cond(refresh, do_refresh, keep)
-
-    new_state = LIOState(
-        ekf_state=e,
-        ring=ring,
-        ring_mask=ring_mask,
-        slot=state.slot + 1,
-        frame=state.frame + 1,
+    a_pts, a_msk, a_nrm, a_nvl, a_cache = jax.lax.cond(refresh, do_refresh, keep)
+    new_state = new_state._replace(
         anchor_points=a_pts,
         anchor_mask=a_msk,
         anchor_normals=a_nrm,
         anchor_normals_valid=a_nvl,
+        anchor_cache=a_cache,
     )
-    out = LIOOutput(
-        world_T_body=world_T_body,
-        rmse=reg.rmse,
-        n_correspondences=reg.n_correspondences,
-        refreshed=refresh,
-        gps_accepted=accepted & gps_valid,
-    )
-    return new_state, out
+    return new_state, out._replace(refreshed=refresh)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -225,3 +285,83 @@ def run_lio_chunk(
         state,
         (scan_points, scan_mask, imu_gyro, imu_accel, imu_dt, gps_pos, gps_var, gps_valid),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def run_lio_blocks(
+    state: LIOState,
+    scan_points: Array,  # (T, S, 3)
+    scan_mask: Array,  # (T, S)
+    imu_gyro: Array,  # (T, K, 3)
+    imu_accel: Array,  # (T, K, 3)
+    imu_dt: Array,  # (T, K)
+    gps_pos: Array,  # (T, 3)
+    gps_var: Array,  # (T,)
+    gps_valid: Array,  # (T,)
+    config: LIOConfig = LIOConfig(),
+) -> tuple[LIOState, LIOOutput]:
+    """Throughput driver: frames in blocks of `refresh_every`, with the
+    anchor refresh hoisted to the BLOCK boundary instead of a per-frame
+    `lax.cond` (whose identity branch copies the multi-MB anchor + cache
+    every frame — the same cond-copy tax the localization pipeline's
+    superblock driver eliminates, ARCHITECTURE.md §6).
+
+    Cadence equivalence with `run_lio_chunk`: the anchor is refreshed
+    every `refresh_every` frames either way; here the refresh sees the
+    ring one frame earlier (block start vs post-insert), which shifts the
+    target map by one scan out of `window` — trajectories agree to well
+    under the registration noise floor (tests/test_lio.py).
+    """
+    T = scan_points.shape[0]
+    R = config.refresh_every
+    n_blocks, tail = divmod(T, R)
+
+    def frame_body(carry, frame):
+        sp, sm, g, a, d, gp, gv, gok = frame
+        new_state, out, _ = _frame_step(
+            carry, sp, sm, g, a, d, gp, gv, gok, config
+        )
+        return new_state, out
+
+    def run_span(state, lo, length):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, length, axis=0)
+        a_pts, a_msk, a_nrm, a_nvl, cache = _refresh_anchor(
+            state.ring, state.ring_mask, state.ekf_state.p, config
+        )
+        state = state._replace(
+            anchor_points=a_pts,
+            anchor_mask=a_msk,
+            anchor_normals=a_nrm,
+            anchor_normals_valid=a_nvl,
+            anchor_cache=cache,
+        )
+        return jax.lax.scan(
+            frame_body,
+            state,
+            (
+                sl(scan_points), sl(scan_mask), sl(imu_gyro), sl(imu_accel),
+                sl(imu_dt), sl(gps_pos), sl(gps_var), sl(gps_valid),
+            ),
+        )
+
+    def block_body(carry, b):
+        state = carry
+        state, outs = run_span(state, b * R, R)
+        return state, outs
+
+    outs_main = None
+    if n_blocks:
+        state, outs_main = jax.lax.scan(
+            block_body, state, jnp.arange(n_blocks, dtype=jnp.int32)
+        )
+        outs_main = jax.tree.map(
+            lambda x: x.reshape((n_blocks * R,) + x.shape[2:]), outs_main
+        )
+    if tail:
+        state, outs_tail = run_span(state, n_blocks * R, tail)
+        if outs_main is None:
+            return state, outs_tail
+        outs_main = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), outs_main, outs_tail
+        )
+    return state, outs_main

@@ -130,3 +130,69 @@ def test_lio_chunk_matches_stepwise(rng):
         np.asarray(outs.world_T_body[-1]), np.asarray(ob.world_T_body), atol=1e-5
     )
     jax.block_until_ready(st_a)
+
+
+def _make_lio_seq(rng, n_frames):
+    world = syn.make_world(rng, extent=50.0, n_buildings=15, n_poles=40,
+                           points_per_m2=24.0)
+    poses = syn.make_trajectory(n_frames, speed_per_frame=0.15)
+    gyro, accel, dts = syn.make_imu(poses, gyro_noise=0.0, accel_noise=0.0)
+    scans = [
+        syn.render_scan(world, poses[i], rng, max_points=3000, max_range=25.0)
+        for i in range(n_frames)
+    ]
+    sp = jnp.stack([pad_scan(s, SMALL_LIO.scan_capacity)[0] for s in scans[1:]])
+    sm = jnp.stack([pad_scan(s, SMALL_LIO.scan_capacity)[1] for s in scans[1:]])
+    gp = jnp.asarray(poses[1:, :3, 3])
+    gv = jnp.full(n_frames - 1, 1.0, jnp.float32)
+    gok = jnp.ones(n_frames - 1, bool)
+    s0, m0 = pad_scan(scans[0], SMALL_LIO.scan_capacity)
+    return poses, (s0, m0), (sp, sm, jnp.asarray(gyro), jnp.asarray(accel),
+                             jnp.asarray(dts), gp, gv, gok)
+
+
+def test_lio_blocks_close_to_chunk(rng):
+    """run_lio_blocks (block-hoisted refresh, incl. a partial tail block)
+    must track run_lio_chunk to within the registration noise floor —
+    the refresh sees the ring one frame earlier, nothing else differs."""
+    n_frames = 11  # 10 steps = 2 full blocks of 4 + tail of 2
+    poses, (s0, m0), seq = _make_lio_seq(rng, n_frames)
+    st = lio.init_state(SMALL_LIO, s0, m0, jnp.asarray(poses[0]))
+    st_c, out_c = lio.run_lio_chunk(st, *seq, SMALL_LIO)
+    st_b, out_b = lio.run_lio_blocks(st, *seq, SMALL_LIO)
+    assert out_b.world_T_body.shape == out_c.world_T_body.shape
+    d = np.linalg.norm(
+        np.asarray(out_b.world_T_body[:, :3, 3])
+        - np.asarray(out_c.world_T_body[:, :3, 3]),
+        axis=1,
+    )
+    assert d.max() < 0.05, d
+
+
+def test_lio_fused_backend_matches_xla(rng):
+    """The whole-GN fused kernel (interpret mode) as the LIO registration
+    backend must track the XLA backend's trajectory."""
+    import dataclasses as _dc
+
+    n_frames = 9
+    poses, (s0, m0), seq = _make_lio_seq(rng, n_frames)
+    cfg_fused = SMALL_LIO._replace(
+        p2p=SMALL_LIO.p2p._replace(
+            nn_backend="fused", pallas_interpret=True, tile_src=256,
+            tile_tgt=512,
+        )
+    )
+    st_x = lio.init_state(SMALL_LIO, s0, m0, jnp.asarray(poses[0]))
+    st_f = lio.init_state(cfg_fused, s0, m0, jnp.asarray(poses[0]))
+    _, out_x = lio.run_lio_blocks(st_x, *seq, SMALL_LIO)
+    _, out_f = lio.run_lio_blocks(st_f, *seq, cfg_fused)
+    d = np.linalg.norm(
+        np.asarray(out_f.world_T_body[:, :3, 3])
+        - np.asarray(out_x.world_T_body[:, :3, 3]),
+        axis=1,
+    )
+    assert d.max() < 0.05, d
+    gt = np.linalg.norm(
+        np.asarray(out_f.world_T_body[:, :3, 3]) - poses[1:, :3, 3], axis=1
+    )
+    assert gt.max() < 0.3, gt
