@@ -53,7 +53,21 @@ def bench_lio() -> None:
         refresh_every=int(os.environ.get("BENCH_LIO_REFRESH", "8")),
         p2p=PointToPlaneConfig(
             nn_backend=backend,
-            num_iterations=int(os.environ.get("BENCH_LIO_ITERS", "4")),
+            # measured (v5e, cells normals 1.8): iters 4 -> 124.3 @ 0.149,
+            # 2 -> 193.7 @ 0.141 (the IMU prior is good; 2 GN steps suffice)
+            num_iterations=int(os.environ.get("BENCH_LIO_ITERS", "2")),
+        ),
+        # truncated-Morton cell PCA: voxel-quality normals with no
+        # argsort/scatter/eigh in the refresh (the voxel estimator costs
+        # ~61 ms per 65k-point refresh on v5e, ~90% of the frame budget)
+        normal_est=os.environ.get("BENCH_LIO_NORMALS", "cells"),
+        # octree level formula floors this to the nearest power-of-2
+        # fraction of the ring extent (~1.7 m cells here); sweep: 0.75 ->
+        # ATE 0.482 (starved cells), 1.2 -> 0.314, 1.8 -> 0.149
+        normal_voxel=float(os.environ.get("BENCH_LIO_NORMAL_VOXEL", "1.8")),
+        normal_planarity=(
+            float(os.environ["BENCH_LIO_PLANARITY"])
+            if "BENCH_LIO_PLANARITY" in os.environ else None
         ),
         # registration against the ring map is RELATIVE (the ring drifts
         # with the estimate); don't let the EKF treat it as a cm-accurate

@@ -41,6 +41,8 @@ from slam_sensor_fusion_tpu.ops.p2p_fused import (
 from slam_sensor_fusion_tpu.ops.point_to_plane import (
     PointToPlaneConfig,
     estimate_normals,
+    estimate_normals_cells,
+    estimate_normals_tiled,
     point_to_plane_align,
 )
 
@@ -59,6 +61,15 @@ class LIOConfig(NamedTuple):
     icp_pos_std: float = 0.03
     icp_rot_std: float = 0.01
     normal_voxel: float = 0.75
+    #: "voxel" = voxel-cell PCA (argsort + scatter — exact cells, ~61 ms
+    #: per 65k refresh on v5e); "cells" = the same cell semantics on
+    #: truncated-Morton runs, scatter/eigh-free (estimate_normals_cells);
+    #: "tiled" = fixed Morton-chunk PCA (cheapest, noisier)
+    normal_est: str = "voxel"
+    normal_chunk: int = 32
+    #: "cells" only: drop crease cells (lam_min >= ratio * lam_mid);
+    #: None keeps every populated cell like the voxel estimator
+    normal_planarity: float | None = None
 
 
 class LIOState(NamedTuple):
@@ -89,10 +100,24 @@ def _refresh_anchor(
 ):
     """Morton sort + normal estimation + fused-kernel cache for the
     current ring contents. Returns the four anchor arrays + the cache."""
-    anchor = sort_by_morton(cl.Cloud(ring, ring_mask))
-    normals, nvalid = estimate_normals(
-        anchor.points, anchor.mask, config.normal_voxel
+    # isotropic box: the "cells" estimator's truncated-Morton cells must
+    # be metrically cubic AND contiguous in this sort order
+    anchor = sort_by_morton(
+        cl.Cloud(ring, ring_mask), isotropic=config.normal_est == "cells"
     )
+    if config.normal_est == "cells":
+        normals, nvalid = estimate_normals_cells(
+            anchor.points, anchor.mask, config.normal_voxel,
+            max_planarity=config.normal_planarity,
+        )
+    elif config.normal_est == "tiled":
+        normals, nvalid = estimate_normals_tiled(
+            anchor.points, anchor.mask, config.normal_chunk
+        )
+    else:
+        normals, nvalid = estimate_normals(
+            anchor.points, anchor.mask, config.normal_voxel
+        )
     cache = build_cached_p2p_target(
         anchor.points, anchor.mask, normals, nvalid, center,
         config.p2p.tile_tgt,

@@ -75,8 +75,12 @@ def morton_codes(points: Array, mask: Array, lo: Array, hi: Array) -> Array:
     return jnp.where(mask, code, jnp.int32((1 << 30) + 1))
 
 
-def sort_by_morton(cloud: Cloud) -> Cloud:
-    """Spatially sort the cloud (valid points first, Z-order)."""
+def cloud_box(cloud: Cloud, isotropic: bool = False) -> tuple[Array, Array]:
+    """Masked (lo, hi) bounding box of a cloud; `isotropic` expands it to
+    a CUBE (hi = lo + max extent on every axis) so Morton cells are
+    metrically cubic — required when truncated codes define spatial cells
+    (ops/point_to_plane.estimate_normals_cells): per-axis normalization
+    would make cells razor-thin along a flat cloud's short axis."""
     big = jnp.asarray(jnp.inf, cloud.points.dtype)
     safe = jnp.where(cloud.mask[:, None], cloud.points, big)
     lo = jnp.min(safe, axis=0)
@@ -84,6 +88,14 @@ def sort_by_morton(cloud: Cloud) -> Cloud:
     safe_neg = jnp.where(cloud.mask[:, None], cloud.points, -big)
     hi = jnp.max(safe_neg, axis=0)
     hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
+    if isotropic:
+        hi = lo + jnp.max(jnp.maximum(hi - lo, 1e-6))
+    return lo, hi
+
+
+def sort_by_morton(cloud: Cloud, isotropic: bool = False) -> Cloud:
+    """Spatially sort the cloud (valid points first, Z-order)."""
+    lo, hi = cloud_box(cloud, isotropic)
     codes = morton_codes(cloud.points, cloud.mask, lo, hi)
     order = jnp.argsort(codes)
     return Cloud(cloud.points[order], cloud.mask[order])

