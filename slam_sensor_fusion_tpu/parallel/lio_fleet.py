@@ -1,0 +1,76 @@
+"""Fleet-parallel native-mode LIO: B robots sharded over the `dp` mesh.
+
+Same scaling shape as parallel/batch.py for the parity pipeline: every
+input gains a leading batch axis B sharded across devices, the whole
+block-scan program is partitioned by XLA, and the steady state needs no
+collectives (per-robot odometry is embarrassingly parallel — the mesh's
+ICI stays free). One program serves the whole fleet: a multi-robot
+deployment is `fleet_run_lio(states, stacked_inputs)` instead of B
+processes.
+
+The registration backend is forced to the gather-based XLA formulation —
+the single-shot VMEM pallas kernels (pair_nn, p2p_fused) are not
+vmappable; the XLA path is semantically identical and batches cleanly
+(the same trade parallel/batch.py makes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from slam_sensor_fusion_tpu.models.lio import (
+    LIOConfig,
+    LIOOutput,
+    LIOState,
+    init_state,
+    run_lio_blocks,
+)
+
+Array = jax.Array
+
+
+def _xla_config(config: LIOConfig) -> LIOConfig:
+    backend = config.p2p.nn_backend
+    if backend in ("fused", "pallas"):
+        return config._replace(p2p=config.p2p._replace(nn_backend="xla"))
+    return config
+
+
+def fleet_init(
+    config: LIOConfig,
+    first_scans: Array,  # (B, S, 3)
+    first_masks: Array,  # (B, S)
+    world_T_body0: Array,  # (B, 4, 4)
+) -> LIOState:
+    """Per-robot init_state, batched (leading axis B on every leaf)."""
+    cfg = _xla_config(config)
+    return jax.vmap(lambda s, m, T: init_state(cfg, s, m, T))(
+        first_scans, first_masks, world_T_body0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fleet_run_lio(
+    states: LIOState,  # leading axis B on every leaf
+    scan_points: Array,  # (B, T, S, 3)
+    scan_mask: Array,  # (B, T, S)
+    imu_gyro: Array,  # (B, T, K, 3)
+    imu_accel: Array,  # (B, T, K, 3)
+    imu_dt: Array,  # (B, T, K)
+    gps_pos: Array,  # (B, T, 3)
+    gps_var: Array,  # (B, T)
+    gps_valid: Array,  # (B, T)
+    config: LIOConfig = LIOConfig(),
+) -> tuple[LIOState, LIOOutput]:
+    """vmapped run_lio_blocks over the fleet axis."""
+    cfg = _xla_config(config)
+
+    def one(st, sp, sm, gy, ac, dt, gp, gv, gok):
+        return run_lio_blocks(st, sp, sm, gy, ac, dt, gp, gv, gok, cfg)
+
+    return jax.vmap(one)(
+        states, scan_points, scan_mask, imu_gyro, imu_accel, imu_dt,
+        gps_pos, gps_var, gps_valid,
+    )

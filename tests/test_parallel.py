@@ -92,3 +92,36 @@ def test_sharded_brute_force_matches_single(rng):
         atol=1e-5,
     )
     np.testing.assert_allclose(float(single.score), float(sharded.score), rtol=1e-4)
+
+
+def test_fleet_lio_matches_single(rng):
+    """B=4 robots through the dp-sharded LIO fleet == per-robot blocks."""
+    from slam_sensor_fusion_tpu.models import lio as lio_mod
+    from slam_sensor_fusion_tpu.parallel.lio_fleet import fleet_init, fleet_run_lio
+    from test_lio import SMALL_LIO, _make_lio_seq
+
+    cfg = SMALL_LIO._replace(normal_est="cells", normal_voxel=2.0)
+    n_frames = 7
+    poses, (s0, m0), seq = _make_lio_seq(rng, n_frames)
+
+    B = 4
+    mesh = make_mesh(4)
+    sp0 = jnp.broadcast_to(s0, (B,) + s0.shape)
+    sm0 = jnp.broadcast_to(m0, (B,) + m0.shape)
+    T0 = jnp.broadcast_to(jnp.asarray(poses[0]), (B, 4, 4))
+    states = fleet_init(cfg, sp0, sm0, T0)
+    states = shard_batch(states, mesh)
+    fleet_in = tuple(
+        shard_batch(jnp.broadcast_to(a, (B,) + a.shape), mesh) for a in seq
+    )
+    final, outs = fleet_run_lio(states, *fleet_in, cfg)
+    assert outs.world_T_body.shape == (B, n_frames - 1, 4, 4)
+
+    st1 = lio_mod.init_state(cfg, s0, m0, jnp.asarray(poses[0]))
+    _, out1 = lio_mod.run_lio_blocks(st1, *seq, cfg)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(outs.world_T_body[b]),
+            np.asarray(out1.world_T_body),
+            atol=1e-4,
+        )
