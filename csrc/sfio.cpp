@@ -192,6 +192,74 @@ void sfio_morton_sort(const float* pts, long long n, float* out) {
 }
 
 // ---------------------------------------------------------------------------
+// Frame paging: the fast pipeline's whole per-frame host staging in one
+// call (models/pipeline_fast.build_paged_frames loop body) — uniform
+// subsample in original scan order, radius crop, Morton sort, (nSt, 3,
+// TM) page pack with sentinels, per-tile bbox/count. The Python loop
+// over frames costs ~ms/frame in NumPy; this is the native loader path.
+// ---------------------------------------------------------------------------
+
+// pts: (n, 3) raw scan. Writes pages (nSt*3*TM), lo/hi (nSt*3), cnt
+// (nSt) where nSt = S / TM. Returns kept-point count (<= S), -1 on bad
+// args. Semantics match build_paged_frames exactly (verified by
+// tests/test_native.py).
+long long sfio_page_frame(const float* pts, long long n, long long step,
+                          float radius, long long S, long long TM,
+                          float sentinel, float* pages, float* lo, float* hi,
+                          int* cnt) {
+  if (S <= 0 || TM <= 0 || S % TM) return -1;
+  const long long nSt = S / TM;
+
+  // subsample (only when the scan has at least `step` points — parity
+  // with build_paged_frames / localization_node.cpp:292)
+  std::vector<float> kept;
+  kept.reserve(static_cast<size_t>(std::min(n, S)) * 3);
+  const long long stride = (step > 1 && n >= step) ? step : 1;
+  const float r2 = radius * radius;
+  for (long long i = 0; i < n; i += stride) {
+    const float x = pts[i * 3], y = pts[i * 3 + 1], z = pts[i * 3 + 2];
+    if (x * x + y * y + z * z <= r2) {
+      kept.push_back(x);
+      kept.push_back(y);
+      kept.push_back(z);
+    }
+  }
+  long long m = static_cast<long long>(kept.size() / 3);
+  if (m > 1) sfio_morton_sort(kept.data(), m, kept.data());
+  if (m > S) m = S;
+
+  // page pack: buf row t*TM+i -> pages[t][axis][i]
+  for (long long t = 0; t < nSt; ++t) {
+    const long long base = t * 3 * TM;
+    long long c = m - t * TM;
+    c = std::max(0ll, std::min(c, TM));
+    cnt[t] = static_cast<int>(c);
+    for (int a = 0; a < 3; ++a) {
+      float bl = 0.0f, bh = 0.0f;
+      float* row = pages + base + a * TM;
+      if (c > 0) {
+        bl = kept[(t * TM) * 3 + a];
+        bh = bl;
+      }
+      for (long long i = 0; i < TM; ++i) {
+        const long long src = t * TM + i;
+        if (src < m) {
+          const float v = kept[src * 3 + a];
+          row[i] = v;
+          bl = std::min(bl, v);
+          bh = std::max(bh, v);
+        } else {
+          row[i] = sentinel;
+        }
+      }
+      lo[t * 3 + a] = bl;
+      hi[t * 3 + a] = bh;
+    }
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
 // Approximate-time alignment (C13 equivalent; see utils/timesync.py)
 // ---------------------------------------------------------------------------
 

@@ -106,6 +106,30 @@ def build_paged_frames(
     cnt = np.zeros((T, nSt), np.int32)
     row = np.arange(TM)
 
+    from slam_sensor_fusion_tpu.utils import native
+
+    if native.available():
+        # native loader: the whole per-frame staging is one C call
+        # (csrc/sfio.cpp sfio_page_frame; parity vs the NumPy path below
+        # is asserted by tests/test_native.py)
+        for i, sc in enumerate(scans):
+            staged = native.page_frame(
+                sc, config.scan_subsample_step, config.cloud_crop_radius,
+                S, TM, _FAR,
+            )
+            pages[i], lo[i], hi[i], cnt[i] = staged
+        return PagedFrames(
+            src_pages=jnp.asarray(pages),
+            src_lo=jnp.asarray(lo),
+            src_hi=jnp.asarray(hi),
+            src_cnt=jnp.asarray(cnt),
+            odom_T_sensor=jnp.asarray(odom_T_sensor, jnp.float32),
+            map_T_sensor_gps=jnp.asarray(map_T_sensor_gps, jnp.float32),
+            odom_cov_trace=jnp.asarray(odom_cov_trace, jnp.float32),
+            gps_cov_trace=jnp.asarray(gps_cov_trace, jnp.float32),
+            valid=jnp.asarray(valid, bool),
+        )
+
     for i, sc in enumerate(scans):
         sc = np.asarray(sc, np.float32).reshape(-1, 3)
         if len(sc) >= config.scan_subsample_step:

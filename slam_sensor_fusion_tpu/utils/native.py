@@ -50,6 +50,20 @@ def _find_lib():
                 ctypes.c_longlong,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.sfio_page_frame.restype = ctypes.c_longlong
+            lib.sfio_page_frame.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong,
+                ctypes.c_longlong,
+                ctypes.c_float,
+                ctypes.c_longlong,
+                ctypes.c_longlong,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int),
+            ]
             lib.sfio_nearest_within.restype = None
             lib.sfio_nearest_within.argtypes = [
                 ctypes.POINTER(ctypes.c_double),
@@ -135,3 +149,34 @@ def nearest_within(query_t: np.ndarray, stream_t: np.ndarray, slop: float):
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return idx, ok.astype(bool)
+
+
+def page_frame(
+    scan: np.ndarray,
+    subsample_step: int,
+    crop_radius: float,
+    capacity: int,
+    tile: int,
+    sentinel: float,
+):
+    """Whole per-frame host staging (subsample -> crop -> Morton sort ->
+    page pack -> tile bboxes) via the native loader; returns
+    (pages (nSt, 3, TM), lo (nSt, 3), hi (nSt, 3), cnt (nSt,)) or None
+    when the library is not built (callers fall back to NumPy)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    scan = np.ascontiguousarray(np.asarray(scan, np.float32).reshape(-1, 3))
+    nSt = capacity // tile
+    pages = np.empty((nSt, 3, tile), np.float32)
+    lo = np.empty((nSt, 3), np.float32)
+    hi = np.empty((nSt, 3), np.float32)
+    cnt = np.empty((nSt,), np.int32)
+    got = lib.sfio_page_frame(
+        _fptr(scan), scan.shape[0], subsample_step, crop_radius,
+        capacity, tile, sentinel, _fptr(pages), _fptr(lo), _fptr(hi),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    if got < 0:
+        return None
+    return pages, lo, hi, cnt

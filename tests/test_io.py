@@ -98,3 +98,46 @@ def test_align_streams():
     np.testing.assert_array_equal(al.gps_idx, [1])
     np.testing.assert_array_equal(al.odom_idx, [1])
     np.testing.assert_array_equal(al.compass_idx, [0])
+
+
+@pytest.mark.skipif(not native.available(), reason="libsfio.so not built")
+def test_native_page_frame_matches_numpy_staging(rng):
+    """sfio_page_frame == build_paged_frames' NumPy loop, element-exact."""
+    from unittest import mock
+
+    import jax.numpy as jnp
+
+    from slam_sensor_fusion_tpu.models.pipeline_fast import build_paged_frames
+    from slam_sensor_fusion_tpu.utils.config import (
+        CloudCapacity,
+        LocalizationConfig,
+    )
+    import dataclasses
+    from slam_sensor_fusion_tpu.utils.config import ICPConfig
+
+    config = dataclasses.replace(
+        LocalizationConfig(),
+        scan_subsample_step=3,
+        capacity=CloudCapacity(scan=1024, cropped_scan=1024, cropped_map=1024,
+                               map=1024, bf_source=256, bf_target=256),
+        icp=dataclasses.replace(ICPConfig(), tile_src=256),
+    )
+    scans = [
+        rng.uniform(-15, 15, (rng.integers(2, 900), 3)).astype(np.float32)
+        for _ in range(5)
+    ] + [np.zeros((0, 3), np.float32), rng.uniform(-1, 1, (2, 3)).astype(np.float32)]
+    T = len(scans)
+    eye = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
+    tr = np.ones(T, np.float32)
+    ok = np.ones(T, bool)
+
+    nat = build_paged_frames(config, scans, eye, eye, tr, tr, ok)
+    with mock.patch(
+        "slam_sensor_fusion_tpu.utils.native.available", return_value=False
+    ):
+        ref = build_paged_frames(config, scans, eye, eye, tr, tr, ok)
+
+    np.testing.assert_array_equal(np.asarray(nat.src_pages), np.asarray(ref.src_pages))
+    np.testing.assert_array_equal(np.asarray(nat.src_cnt), np.asarray(ref.src_cnt))
+    np.testing.assert_allclose(np.asarray(nat.src_lo), np.asarray(ref.src_lo), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nat.src_hi), np.asarray(ref.src_hi), atol=1e-6)
