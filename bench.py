@@ -231,6 +231,9 @@ def main() -> None:
     density = float(os.environ.get("BENCH_DENSITY", "24.0"))
     scan_cap = 1 << max(int(np.ceil(np.log2(max(raw_points // subsample, 1024)))), 10)
     config = LocalizationConfig(
+        # one pallas launch per K-frame superblock (prediction/blend/
+        # gate/ICP/state-select all in-kernel, ops/superblock_fused.py)
+        block_kernel=os.environ.get("BENCH_BLOCK_KERNEL", "1") == "1",
         superstep=superstep,
         superstep_slack=slack,
         scan_subsample_step=subsample,

@@ -262,6 +262,48 @@ def _superstep(
     )(visits, counts)
     pair_ovf = v_ovf | (jnp.sum(counts, axis=1) > max_pairs)  # (K,)
 
+    if config.block_kernel and icp_cfg.mode != "parity":
+        # ---- whole-superblock kernel: one launch for the K-frame fine
+        # loop (ops/superblock_fused.py); equivalence with the per-frame
+        # scan below is asserted by tests/test_superblock_kernel.py ----
+        from slam_sensor_fusion_tpu.ops.superblock_fused import superblock_fine
+
+        (
+            poses, priors, odom_preds, stats,
+            pose_n, odom_prev_n, trans_n, count_n, fprev_n,
+        ) = superblock_fine(
+            blk.src_pages, pair_src, pair_tgt, n_pairs, blk.valid,
+            blk.odom_T_sensor, blk.map_T_sensor_gps,
+            blk.odom_cov_trace, blk.gps_cov_trace,
+            state.map_T_sensor, state.odom_T_sensor_previous,
+            state.filter_state.transitions, state.filter_state.count,
+            state.filter_state.previous_pose, cached_target.center,
+            cached_target.pages, config, interpret=interpret,
+        )
+        outs = StepOutput(
+            map_T_sensor=poses,
+            map_T_sensor_prior=priors,
+            map_T_sensor_odom=odom_preds,
+            icp_error=stats[:, 0],
+            icp_iterations=stats[:, 1].astype(jnp.int32),
+            icp_converged=stats[:, 3] > 0.5,
+            n_correspondences=stats[:, 2].astype(jnp.int32),
+            recropped=need & (jnp.arange(K) == 0),
+            pair_overflow=blk.valid & pair_ovf,
+            icp_det_min=stats[:, 4],
+        )
+        new_state = PipelineState(
+            map_T_sensor=pose_n,
+            odom_T_sensor_previous=odom_prev_n,
+            map_T_ref=map_T_ref,
+            cropped_map=cropped_map,
+            filter_state=sf.FilterState(
+                transitions=trans_n, count=count_n, previous_pose=fprev_n
+            ),
+            cached_target=cached_target,
+        )
+        return new_state, outs
+
     # ---- per-frame fine loop (small carry; map pages closed over) ----
     def fine(carry, per: _PerFrame):
         pose, odom_prev, filt = carry

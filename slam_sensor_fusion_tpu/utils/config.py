@@ -209,6 +209,12 @@ class LocalizationConfig:
     #: granularity becomes per-block instead of per-frame. False keeps
     #: the legacy per-frame engine (models/localization.run_chunk).
     superblock_parity: bool = False
+    #: (fast mode) run the WHOLE fine loop of each superblock — odometry
+    #: prediction, covariance blend, stochastic gate, fused ICP,
+    #: predicated state update — in ONE pallas launch
+    #: (ops/superblock_fused.py) instead of one launch + XLA glue per
+    #: frame. Equivalent to the per-frame path (tests); fast mode only.
+    block_kernel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
