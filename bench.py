@@ -214,7 +214,11 @@ def main() -> None:
     chunk = int(os.environ.get("BENCH_CHUNK", str(n_frames - 1)))
     # "fast" = the native fused-kernel ICP (fresh correspondences);
     # "parity" = the reference's exact lazy-re-association control flow
-    icp_mode = os.environ.get("BENCH_ICP_MODE", "fast")
+    # the reference's exact lazy-re-association control flow through the
+    # whole-superblock kernel is BOTH reference-exact and the fastest
+    # measured configuration (v5e: parity 1581.1 vs fresh 1346.6 scans/s
+    # -- lazy does ~1 association/frame vs fresh's 2-3)
+    icp_mode = os.environ.get("BENCH_ICP_MODE", "parity")
 
     # Native-mode defaults, measured on the v5e sweep (ARCHITECTURE.md §6):
     # scan subsample 8 (3k pts/frame) holds the voxel-limited ATE floor

@@ -262,10 +262,12 @@ def _superstep(
     )(visits, counts)
     pair_ovf = v_ovf | (jnp.sum(counts, axis=1) > max_pairs)  # (K,)
 
-    if config.block_kernel and icp_cfg.mode != "parity":
+    if config.block_kernel:
         # ---- whole-superblock kernel: one launch for the K-frame fine
-        # loop (ops/superblock_fused.py); equivalence with the per-frame
-        # scan below is asserted by tests/test_superblock_kernel.py ----
+        # loop (ops/superblock_fused.py) — the lazy (reference-exact)
+        # ICP variant in parity mode, fresh in fast mode; equivalence
+        # with the per-frame scan below is asserted by
+        # tests/test_superblock_kernel.py ----
         from slam_sensor_fusion_tpu.ops.superblock_fused import superblock_fine
 
         (

@@ -109,6 +109,7 @@ def _make_superblock_kernel(
     icp_cfg: ICPConfig,
     filt_cfg: StochasticFilterConfig,
     fixed_gains: bool,
+    lazy: bool,
 ):
     gate = icp_cfg.max_correspondence_dist_sq
     num_iterations = icp_cfg.num_iterations
@@ -153,6 +154,7 @@ def _make_superblock_kernel(
         # scratch
         best_d2_ref,  # (nSt, 1, TM)
         best_xyz_ref,  # (nSt, 3, TM)
+        alive_ref,  # (nSt, 1, TM) f32 (lazy mode's shrinking set)
     ):
         ones3 = jnp.ones((3, 1), jnp.float32)
         cx = jnp.stack([center_ref[0], center_ref[1], center_ref[2]])
@@ -303,6 +305,73 @@ def _make_superblock_kernel(
             )
             return jax.lax.fori_loop(0, num_iterations, iter_body, carry0)
 
+        def icp_lazy(k, R0, t0):
+            """The reference's EXACT lazy control flow for frame k
+            (icp_point_to_point.cpp:185-254, same semantics as
+            ops/icp_fused.py lazy=True): correspondences found once at
+            the prior then FIXED; plateau-triggered re-association; the
+            alive set only shrinks; n_corr reports the INITIAL count."""
+            associate(k, R0, t0)
+            d2_0 = best_d2_ref[...][:, 0, :]
+            alive0 = (d2_0 < gate).astype(jnp.float32)
+            alive_ref[...] = alive0[:, None, :]
+            n_corr0 = _sum_all(alive0).astype(jnp.int32)
+
+            def iter_body(it, carry):
+                R, t, err_prev, n_corr, iters, live, det_min = carry
+
+                def do(R=R, t=t):
+                    alive = alive_ref[...][:, 0, :]
+                    W, Ss, St, Mst, Eabs = reduce_moments(k, R, t, alive)
+                    err = Eabs / jnp.maximum(W, 1.0)
+                    hit = err < acc
+                    plateau = jnp.abs(err_prev - err) < eps
+                    need = (~hit) & plateau
+
+                    def reassoc():
+                        associate(k, R, t)
+                        d2 = best_d2_ref[...][:, 0, :]
+                        new_alive = alive * (d2 < gate).astype(jnp.float32)
+                        alive_ref[...] = new_alive[:, None, :]
+                        return reduce_moments(k, R, t, new_alive)
+
+                    W2, Ss2, St2, Mst2, _ = jax.lax.cond(
+                        need, reassoc, lambda: (W, Ss, St, Mst, Eabs)
+                    )
+                    R_step, t_step, polar_ok, detH = solve_step(
+                        W2, Ss2, St2, Mst2
+                    )
+                    stop = hit | ~polar_ok
+                    R_new = jnp.where(stop, R, _mm3(R_step, R))
+                    t_new = jnp.where(stop, t, _mv3(R_step, t) + t_step)
+                    return (
+                        R_new,
+                        t_new,
+                        err,
+                        n_corr,
+                        jnp.where(stop, iters, iters + 1),
+                        ~stop,
+                        jnp.minimum(det_min, detH),
+                    )
+
+                def skip():
+                    return (R, t, err_prev, n_corr, iters, live, det_min)
+
+                return jax.lax.cond(live, do, skip)
+
+            carry0 = (
+                R0,
+                t0,
+                jnp.float32(_BIG),
+                n_corr0,
+                jnp.int32(0),
+                n_corr0 >= min_corr,
+                jnp.float32(_BIG),
+            )
+            return jax.lax.fori_loop(0, num_iterations, iter_body, carry0)
+
+        icp_run = icp_lazy if lazy else icp_fresh
+
         # ---- initial state from scalar reads ----
         P0 = pose0_ref[...]
         O0 = odom_prev0_ref[...]
@@ -410,7 +479,7 @@ def _make_superblock_kernel(
             tg = jnp.where(gated, _read3(mean_pose), tpr)
 
             # 4) fused ICP in the rebased frame
-            Ricp, ticp, err, n_corr, iters, live, det_min = icp_fresh(
+            Ricp, ticp, err, n_corr, iters, live, det_min = icp_run(
                 k, Rg, tg - cx
             )
             ticp = ticp + cx
@@ -494,7 +563,8 @@ def superblock_fine(
     TN = tgt_pages.shape[2]
     Q = config.filter.queue_size
     kern = _make_superblock_kernel(
-        K, TM, TN, config.icp, config.filter, config.fixed_gains
+        K, TM, TN, config.icp, config.filter, config.fixed_gains,
+        lazy=config.icp.mode == "parity",
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -514,6 +584,7 @@ def superblock_fine(
         scratch_shapes=[
             pltpu.VMEM((nSt, 1, TM), jnp.float32),
             pltpu.VMEM((nSt, 3, TM), jnp.float32),
+            pltpu.VMEM((nSt, 1, TM), jnp.float32),
         ],
         interpret=interpret,
     )(

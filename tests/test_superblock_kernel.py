@@ -72,3 +72,40 @@ def test_block_kernel_matches_per_frame_scan():
         fin_b.filter_state.previous_pose, fin_a.filter_state.previous_pose,
         atol=3e-4,
     )
+
+
+def test_block_kernel_matches_per_frame_scan_parity_mode():
+    """Lazy (reference-exact) ICP inside the superblock kernel == the
+    per-frame lazy fused path."""
+    n = 9
+    seq, map_data = build_world_and_sequence(n_frames=n, seed=2)
+    base = dataclasses.replace(
+        FAST_CONFIG,
+        icp=dataclasses.replace(FAST_CONFIG.icp, mode="parity"),
+        superblock_parity=True,
+    )
+    cfg_kern = dataclasses.replace(base, block_kernel=True)
+    loc = Localizer(map_data, base)
+    gps_T = loc.gps_poses(seq.gps_lat, seq.gps_lon, seq.compass_yaw)
+    frames = pf.build_paged_frames(
+        base, seq.scans[1:], seq.odom_T_sensor[1:], gps_T[1:],
+        seq.odom_cov_trace[1:], seq.gps_cov_trace[1:],
+        np.ones(n - 1, bool),
+    )
+    state = init_state(
+        base, loc.map_cloud.capacity,
+        jnp.asarray(gps_T[0]), jnp.asarray(seq.odom_T_sensor[0], jnp.float32),
+    )
+    fin_a, out_a = _run(base, state, frames, loc.map_cloud)
+    fin_b, out_b = _run(cfg_kern, state, frames, loc.map_cloud)
+    np.testing.assert_allclose(
+        out_b.map_T_sensor, out_a.map_T_sensor, atol=3e-4
+    )
+    np.testing.assert_array_equal(
+        out_b.n_correspondences, out_a.n_correspondences
+    )
+    np.testing.assert_array_equal(out_b.icp_iterations, out_a.icp_iterations)
+    np.testing.assert_array_equal(out_b.icp_converged, out_a.icp_converged)
+    np.testing.assert_allclose(
+        fin_b.map_T_sensor, fin_a.map_T_sensor, atol=3e-4
+    )
