@@ -131,6 +131,7 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
     num_iterations = config.num_iterations
     delta = config.huber_delta
     damping = config.damping
+    fixed_corr = config.fixed_correspondences
 
     def kernel(
         pair_src_ref,  # (max_pairs,) SMEM
@@ -184,10 +185,11 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
 
             jax.lax.fori_loop(0, n_pairs_ref[0], pair_body, 0)
 
-        def gn_moments(R, t):
-            """One association + full JtJ/Jtr reduction; returns
-            (A_rows 6x6 scalars, b 6 scalars, W, sum w r^2)."""
-            associate(R, t)
+        def gn_moments(R, t, reassociate=True):
+            """Association (unless held fixed) + full JtJ/Jtr reduction;
+            returns (A_rows 6x6 scalars, b 6 scalars, W, sum w r^2)."""
+            if reassociate:
+                associate(R, t)
             s_all = src_pages_ref[...]  # (nSt, 3, TM)
             sx, sy, sz = s_all[:, 0, :], s_all[:, 1, :], s_all[:, 2, :]
             px = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
@@ -238,9 +240,15 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
             ]
         )
 
+        if fixed_corr:
+            # one association at the prior; iterations and the stats pass
+            # reuse the matched set (residuals still re-evaluate at the
+            # CURRENT transform every iteration)
+            associate(R0, t0)
+
         def iter_body(it, carry):
             R, t, _, _ = carry
-            A_rows, bvec, W, wr2 = gn_moments(R, t)
+            A_rows, bvec, W, wr2 = gn_moments(R, t, reassociate=not fixed_corr)
             x = _chol6_solve(A_rows, bvec)
             # a starved frame must not step (mirrors point_to_plane_align's
             # damped-solve of a near-empty system degenerating to ~0); the

@@ -58,6 +58,12 @@ class PointToPlaneConfig(NamedTuple):
     reassoc_margin: float = 0.5
     nn_backend: str = "pallas"
     pallas_interpret: bool = False
+    #: (fused kernel) associate ONCE at the prior and keep the matched
+    #: point/normal set fixed across all GN iterations + the stats pass
+    #: (the lazy trade the superblock ICP kernel also makes — association
+    #: dominates kernel time; with an IMU prior the correspondences
+    #: barely change between iterations)
+    fixed_correspondences: bool = False
 
 
 class PointToPlaneResult(NamedTuple):

@@ -113,3 +113,26 @@ def test_fused_starved_frame_is_noop(rng):
     )
     np.testing.assert_allclose(np.asarray(r.transformation), np.eye(4), atol=1e-6)
     assert int(r.n_correspondences) == 0
+
+
+def test_fused_fixed_correspondences_converges(rng):
+    """One association at the prior + fixed-set GN iterations recovers
+    the transform FROM A GOOD PRIOR (the LIO contract: the IMU
+    propagation puts the prior within cm of truth; correspondences found
+    there stay valid across the small GN corrections)."""
+    s, sm, t, tm, normals, nvalid, T_true = _setup(rng)
+    cfg = PointToPlaneConfig(
+        tile_src=256, tile_tgt=512, fixed_correspondences=True
+    )
+    cached = build_cached_p2p_target(
+        jnp.asarray(t), jnp.asarray(tm), normals, nvalid,
+        jnp.zeros(3, jnp.float32), cfg.tile_tgt,
+    )
+    prior = T_true.copy()
+    prior[:3, 3] += np.array([0.03, -0.02, 0.01], np.float32)
+    r = point_to_plane_align_fused(
+        jnp.asarray(s), jnp.asarray(sm), cached, jnp.asarray(prior), cfg,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(r.transformation), T_true, atol=1e-2)
+    assert float(r.rmse) < 0.03
