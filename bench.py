@@ -56,6 +56,11 @@ def bench_lio() -> None:
             # measured (v5e, cells normals 1.8): iters 4 -> 124.3 @ 0.149,
             # 2 -> 193.7 @ 0.141 (the IMU prior is good; 2 GN steps suffice)
             num_iterations=int(os.environ.get("BENCH_LIO_ITERS", "2")),
+            # associate ONCE at the IMU prior, reuse across GN iterations
+            # + stats: association dominates the kernel (microbench at
+            # these shapes: fresh 4.9 ms vs fixed 2.1 ms for 2 iters)
+            fixed_correspondences=os.environ.get("BENCH_LIO_FIXED_CORR", "1")
+            == "1",
         ),
         # truncated-Morton cell PCA: voxel-quality normals with no
         # argsort/scatter/eigh in the refresh (the voxel estimator costs

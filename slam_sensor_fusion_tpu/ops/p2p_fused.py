@@ -213,17 +213,29 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
             J4 = pz * nx - px * nz
             J5 = px * ny - py * nx
             J = (nx, ny, nz, J3, J4, J5)
+            # ONE stacked (29, nSt, TM) reduction instead of 29 separate
+            # full-plane reductions — per-op issue overhead of the many
+            # small VPU reductions dominates the GN iteration otherwise
+            wJ = [w * J[a] for a in range(6)]
+            planes = (
+                [wJ[a] * J[b] for a in range(6) for b in range(a + 1)]
+                + [wJ[a] * r for a in range(6)]
+                + [w_in, w_in * r * r]
+            )
+            stack = jnp.stack(planes)  # (29, nSt, TM)
+            tot = jnp.sum(jnp.sum(stack, axis=2), axis=1)  # (29,)
             A_rows = [[None] * 6 for _ in range(6)]
+            k = 0
             for a in range(6):
                 for b in range(a + 1):
-                    v = _sum_all(w * J[a] * J[b])
-                    A_rows[a][b] = v
-                    A_rows[b][a] = v
+                    A_rows[a][b] = tot[k]
+                    A_rows[b][a] = tot[k]
+                    k += 1
             for a in range(6):
                 A_rows[a][a] = A_rows[a][a] + damping
-            bvec = [_sum_all(w * J[a] * r) for a in range(6)]
-            W = _sum_all(w_in)
-            wr2 = _sum_all(w_in * r * r)
+            bvec = [tot[21 + a] for a in range(6)]
+            W = tot[27]
+            wr2 = tot[28]
             return A_rows, bvec, W, wr2
 
         T0 = T0_ref[...]
