@@ -61,6 +61,9 @@ def bench_lio() -> None:
             # these shapes: fresh 4.9 ms vs fixed 2.1 ms for 2 iters)
             fixed_correspondences=os.environ.get("BENCH_LIO_FIXED_CORR", "1")
             == "1",
+            # with prior-fixed correspondences the pair list only needs to
+            # cover cm-scale GN corrections, not inter-iteration drift
+            reassoc_margin=float(os.environ.get("BENCH_LIO_MARGIN", "0.15")),
         ),
         # truncated-Morton cell PCA: voxel-quality normals with no
         # argsort/scatter/eigh in the refresh (the voxel estimator costs
