@@ -467,12 +467,11 @@ def _make_superblock_kernel(
 
             # replacement mean pose: sum_q w_q (transition_q @ pose)
             # (the reference's :106 operand order)
-            Pq = _pack44(Rp, tp)
             mean_pose = jnp.zeros((4, 4), jnp.float32)
             for q in range(Q):
                 Rq = _read33(new_trans[q])
                 tq = _read3(new_trans[q])
-                Rc, tc_ = _compose(Rq, tq, _read33(Pq), _read3(Pq))
+                Rc, tc_ = _compose(Rq, tq, Rp, tp)
                 mean_pose = mean_pose + wq[q] * _pack44(Rc, tc_)
             gated = z > z_thr
             Rg = jnp.where(gated, _read33(mean_pose), Rpr)
