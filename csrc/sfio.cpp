@@ -202,7 +202,7 @@ void sfio_morton_sort(const float* pts, long long n, float* out) {
 // pts: (n, 3) raw scan. Writes pages (nSt*3*TM), lo/hi (nSt*3), cnt
 // (nSt) where nSt = S / TM. Returns kept-point count (<= S), -1 on bad
 // args. Semantics match build_paged_frames exactly (verified by
-// tests/test_native.py).
+// tests/test_io.py::test_native_page_frame_matches_numpy_staging).
 long long sfio_page_frame(const float* pts, long long n, long long step,
                           float radius, long long S, long long TM,
                           float sentinel, float* pages, float* lo, float* hi,

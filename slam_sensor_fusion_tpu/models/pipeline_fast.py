@@ -111,7 +111,7 @@ def build_paged_frames(
     if native.available():
         # native loader: the whole per-frame staging is one C call
         # (csrc/sfio.cpp sfio_page_frame; parity vs the NumPy path below
-        # is asserted by tests/test_native.py)
+        # is asserted by tests/test_io.py)
         for i, sc in enumerate(scans):
             staged = native.page_frame(
                 sc, config.scan_subsample_step, config.cloud_crop_radius,
