@@ -159,13 +159,10 @@ def _joseph(P: Array, K: Array, H: Array, Rm: Array) -> Array:
     return A @ P @ A.T + K @ Rm @ K.T
 
 
-def update_pose(
-    state: EKFState,
-    T_meas: Array,
-    pos_std: float | Array,
-    rot_std: float | Array,
-) -> EKFState:
-    """Full-pose update from scan registration (6-dof measurement)."""
+def update_pose_cov(state: EKFState, T_meas: Array, Rm: Array) -> EKFState:
+    """Full-pose update with an explicit (6, 6) measurement covariance
+    (e.g. the registration's own GN covariance, LIOConfig.icp_cov_mode
+    "gn")."""
     r_p = T_meas[:3, 3] - state.p
     r_th = geometry.so3_log(state.R.T @ T_meas[:3, :3])
     r = jnp.concatenate([r_p, r_th])
@@ -173,15 +170,25 @@ def update_pose(
     H = jnp.zeros((6, 15), jnp.float32)
     H = H.at[0:3, 0:3].set(jnp.eye(3))
     H = H.at[3:6, 6:9].set(jnp.eye(3))
-    Rm = jnp.diag(
-        jnp.concatenate([jnp.full(3, pos_std**2), jnp.full(3, rot_std**2)])
-    ).astype(jnp.float32)
 
     S = H @ state.P @ H.T + Rm
     K = state.P @ H.T @ jnp.linalg.inv(S)
     dx = K @ r
     new = _inject(state, dx)
     return new._replace(P=_joseph(state.P, K, H, Rm))
+
+
+def update_pose(
+    state: EKFState,
+    T_meas: Array,
+    pos_std: float | Array,
+    rot_std: float | Array,
+) -> EKFState:
+    """Full-pose update from scan registration (6-dof measurement)."""
+    Rm = jnp.diag(
+        jnp.concatenate([jnp.full(3, pos_std**2), jnp.full(3, rot_std**2)])
+    ).astype(jnp.float32)
+    return update_pose_cov(state, T_meas, Rm)
 
 
 def update_gps(

@@ -47,9 +47,44 @@ def deskew(
 
     A point measured at fraction tau sits in the frame exp((tau-1) * xi)
     relative to the sweep end; undo it.
+
+    All per-point twists share ONE axis (xi_i = (tau_i - 1) * xi, so the
+    rotation axis k = phi/|phi| and the translation direction rho are
+    frame constants) — so instead of materializing (N, 4, 4) transforms
+    and batched 3x3 matmuls (tiny-batched dots tile terribly on the MXU;
+    measured: ~1.6 ms/frame at 8k points, over half the LIO budget), the
+    exp collapses to fixed-axis Rodrigues: per point, two cross products
+    against a constant axis and a handful of sin/cos FMAs on the VPU.
+
+        R(th) p = p + sin(th) (k x p) + (1 - cos(th)) k x (k x p)
+        t(th)   = s [ r0 + (1-cos th)/th (k x r0)
+                         + (th - sin th)/th  k x (k x r0) ],  s = tau - 1
     """
-    xi = (tau[:, None] - 1.0) * frame_twist[None, :]  # (N, 6)
-    T = geometry.se3_exp(xi)  # (N, 4, 4) batched Rodrigues
-    return (
-        jnp.einsum("nij,nj->ni", T[:, :3, :3], points) + T[:, :3, 3]
+    rho0 = frame_twist[:3]
+    phi0 = frame_twist[3:]
+    th0 = jnp.sqrt(jnp.maximum(jnp.sum(phi0 * phi0), 1e-24))
+    k = phi0 / th0
+
+    s = tau - 1.0  # (N,) <= 0
+    th = s * th0  # signed angle about k
+    sin = jnp.sin(th)
+    cos = jnp.cos(th)
+    # (1-cos th)/th and (th-sin th)/th, series-safe at th ~ 0 (both odd/
+    # even limits vanish like th/2 and th^2/6)
+    small = jnp.abs(th) < 1e-4
+    d = jnp.where(small, 1.0, th)
+    A = jnp.where(small, 0.5 * th, (1.0 - cos) / d)
+    B = jnp.where(small, th * th / 6.0, (th - sin) / d)
+
+    kxp = jnp.cross(k[None, :], points)  # (N, 3)
+    kkp = jnp.cross(k[None, :], kxp)
+    Rp = points + sin[:, None] * kxp + (1.0 - cos)[:, None] * kkp
+
+    kxr = jnp.cross(k, rho0)  # fixed (3,)
+    kkr = jnp.cross(k, kxr)
+    t = (
+        s[:, None] * rho0[None, :]
+        + (s * A)[:, None] * kxr[None, :]
+        + (s * B)[:, None] * kkr[None, :]
     )
+    return Rp + t

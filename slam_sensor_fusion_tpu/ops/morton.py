@@ -21,17 +21,33 @@ Array = jax.Array
 _BITS = 10  # 10 bits/axis -> 30-bit codes, fits int32
 
 
-def sort_points_numpy(points: np.ndarray) -> np.ndarray:
+def sort_points_numpy(points: np.ndarray, isotropic: bool = False) -> np.ndarray:
     """Host-side Morton sort of an (n, 3) array (loader pre-sort).
 
     Scans pre-sorted here keep their tile locality through every rigid
     transform of the ICP loop, so the device never needs to re-sort them.
     """
     points = np.asarray(points, np.float32).reshape(-1, 3)
-    if points.shape[0] == 0:
-        return points
+    return points[sort_order_numpy(points, isotropic)]
+
+
+def sort_order_numpy(points: np.ndarray, isotropic: bool = False) -> np.ndarray:
+    """Host-side Morton sort ORDER of an (n, 3) array.
+
+    Same code path as `sort_points_numpy` but returns the permutation, so
+    per-point side channels (deskew timestamps, intensities) can ride
+    along with the sort. `isotropic` quantizes over a CUBE instead of the
+    per-axis box — metrically cubic cells keep fixed-count tiles compact
+    on flat (road-scan) clouds, exactly as `cloud_box(isotropic=True)`
+    does on device; use it whenever tile bboxes will gate NN search."""
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    n = points.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
     lo = points.min(axis=0)
     extent = np.maximum(points.max(axis=0) - lo, 1e-6)
+    if isotropic:
+        extent = np.full(3, extent.max(), extent.dtype)
     q = np.clip(
         ((points - lo) / extent * (1 << _BITS)).astype(np.int64),
         0,
@@ -47,7 +63,7 @@ def sort_points_numpy(points: np.ndarray) -> np.ndarray:
         return v
 
     code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-    return points[np.argsort(code, kind="stable")]
+    return np.argsort(code, kind="stable")
 
 
 def _spread_bits(v: Array) -> Array:

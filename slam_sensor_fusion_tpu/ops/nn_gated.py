@@ -61,6 +61,42 @@ def pair_tiles(
     bboxes across frames (they only change at map re-crop).
     """
     d2 = bbox_pair_dist2(lo_s, hi_s, lo_t, hi_t)  # (nSt, nTt)
+    return pair_tiles_from_d2(d2, cnt_s, radius2, max_visits)
+
+
+def subtile_pair_dist2(
+    lo_s: Array,  # (nSt * qs, 3) SUB-box minima, row-major per tile
+    hi_s: Array,
+    lo_t: Array,  # (nTt * qt, 3)
+    hi_t: Array,
+    n_src_tiles: int,
+    n_tgt_tiles: int,
+) -> Array:
+    """Tile-pair distance via FINE sub-boxes: min over every (source
+    sub-box, target sub-box) pair inside the coarse tile pair.
+
+    Fixed-count Morton tiles go ragged at curve-order discontinuities —
+    one tile straddling a top-level octant boundary gets a bbox spanning
+    the whole cloud and its single coarse box admits EVERY target tile
+    (measured: p99 of per-tile admissibility = nTt at LIO bench shapes).
+    Sub-boxes recover the true cluster structure: a ragged tile is 2-3
+    compact clusters, and min-over-sub-pairs only admits targets near one
+    of them. Gating stays a superset of the true point-pair distances, so
+    no admissible pair is ever missed. Cost: a (nSt*qs, nTt*qt) box
+    matrix — thousands of scalar boxes vs millions of point distances.
+    """
+    d2 = bbox_pair_dist2(lo_s, hi_s, lo_t, hi_t)
+    qs = lo_s.shape[0] // n_src_tiles
+    qt = lo_t.shape[0] // n_tgt_tiles
+    d2 = d2.reshape(n_src_tiles, qs, n_tgt_tiles, qt)
+    return jnp.min(jnp.min(d2, axis=3), axis=1)
+
+
+def pair_tiles_from_d2(
+    d2: Array, cnt_s: Array, radius2: float, max_visits: int
+) -> tuple[Array, Array, Array]:
+    """pair_tiles from a precomputed (nSt, nTt) tile-pair distance matrix
+    (box-based or sub-box-based)."""
     admissible = d2 <= radius2  # inf for empty tiles -> False
     n_adm = jnp.sum(admissible, axis=1)
     # nearest-first ordering; inadmissible tiles sort last

@@ -53,6 +53,7 @@ from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
 from slam_sensor_fusion_tpu.ops.point_to_plane import (
     PointToPlaneConfig,
     PointToPlaneResult,
+    pose_covariance_from_jtj,
 )
 
 Array = jax.Array
@@ -258,39 +259,40 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
             # CURRENT transform every iteration)
             associate(R0, t0)
 
-        def iter_body(it, carry):
-            R, t, _, _ = carry
+        # unrolled (num_iterations is small + static): num_iterations
+        # stepped passes, then one STATS-ONLY pass — moments at the final
+        # transform, no step — the same contract as point_to_plane_align's
+        # trailing stats association; unrolling leaves the final pass's
+        # JtJ moments in hand for the covariance export
+        R, t = R0, t0
+        for _ in range(num_iterations):
             A_rows, bvec, W, wr2 = gn_moments(R, t, reassociate=not fixed_corr)
             x = _chol6_solve(A_rows, bvec)
             # a starved frame must not step (mirrors point_to_plane_align's
-            # damped-solve of a near-empty system degenerating to ~0); the
-            # extra final pass is STATS-ONLY — moments at the final
-            # transform, no step — the same contract as
-            # point_to_plane_align's trailing stats association
-            ok = jnp.where(
-                (W >= 3.0) & (it < num_iterations), 1.0, 0.0
-            ).astype(jnp.float32)
+            # damped-solve of a near-empty system degenerating to ~0)
+            ok = jnp.where(W >= 3.0, 1.0, 0.0).astype(jnp.float32)
             rho = jnp.stack([-x[0] * ok, -x[1] * ok, -x[2] * ok])
             phi = jnp.stack([-x[3] * ok, -x[4] * ok, -x[5] * ok])
             R_step, t_step = _se3_exp_taylor(rho, phi)
             R_step = _polar_polish(R_step)
-            R_new = _mm3(R_step, R)
-            t_new = _mv3(R_step, t) + t_step
-            return (R_new, t_new, W, wr2)
-
-        R, t, W, wr2 = jax.lax.fori_loop(
-            0, num_iterations + 1, iter_body,
-            (R0, t0, jnp.float32(0), jnp.float32(0)),
-        )
+            R = _mm3(R_step, R)
+            t = _mv3(R_step, t) + t_step
+        A_rows, bvec, W, wr2 = gn_moments(R, t, reassociate=not fixed_corr)
         rmse = jnp.sqrt(wr2 / jnp.maximum(W, 1.0))
 
         top = jnp.concatenate([R, t[:, None]], axis=1)  # (3, 4)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
         bottom = (cols == 3).astype(jnp.float32)
         T_out_ref[...] = jnp.concatenate([top, bottom], axis=0)
-        packed = jnp.stack([rmse, W, jnp.float32(num_iterations)])
+        # lanes 3-23: the 21 unique (damped) JtJ entries of the final
+        # stats pass, row-major lower triangle; lane 24: wr2
+        packed = jnp.stack(
+            [rmse, W, jnp.float32(num_iterations)]
+            + [A_rows[a][b] for a in range(6) for b in range(a + 1)]
+            + [wr2]
+        )
         stats_ref[...] = jnp.concatenate(
-            [packed, jnp.zeros(125, jnp.float32)]
+            [packed, jnp.zeros(103, jnp.float32)]
         )[None, :]
 
     return kernel
@@ -304,6 +306,10 @@ class CachedP2PTarget(NamedTuple):
     lo: Array  # (nTt, 3) tile bbox minima (original frame)
     hi: Array
     center: Array  # (3,)
+    #: optional FINE gating sub-boxes (nTt * qt, 3), row-major per tile —
+    #: see ops/nn_gated.subtile_pair_dist2 (ragged-Morton-tile cull)
+    sub_lo: Array | None = None
+    sub_hi: Array | None = None
 
 
 def build_cached_p2p_target(
@@ -313,8 +319,12 @@ def build_cached_p2p_target(
     normals_valid: Array,
     center: Array,
     tile_tgt: int,
+    gate_sub: int | None = None,
 ) -> CachedP2PTarget:
-    """Pack xyz+normal 6-row pages and per-tile bboxes once per anchor."""
+    """Pack xyz+normal 6-row pages and per-tile bboxes once per anchor.
+
+    `gate_sub` (points per gating sub-box, divides tile_tgt) additionally
+    stores fine sub-boxes for sub-tile pair culling."""
     xyz_pages = make_pages(target, target_mask, center, tile_tgt, sentinel=-1.0e7)
     n_safe = jnp.where(
         (target_mask & normals_valid)[:, None], normals.astype(jnp.float32), 0.0
@@ -323,7 +333,12 @@ def build_cached_p2p_target(
     nrm_pages = jnp.swapaxes(n_safe.reshape(n // tile_tgt, tile_tgt, 3), 1, 2)
     pages = jnp.concatenate([xyz_pages, nrm_pages], axis=1)  # (nTt, 6, TN)
     lo, hi, _ = tile_bboxes(target, target_mask, tile_tgt)
-    return CachedP2PTarget(pages=pages, lo=lo, hi=hi, center=center)
+    sub_lo = sub_hi = None
+    if gate_sub is not None:
+        sub_lo, sub_hi, _ = tile_bboxes(target, target_mask, gate_sub)
+    return CachedP2PTarget(
+        pages=pages, lo=lo, hi=hi, center=center, sub_lo=sub_lo, sub_hi=sub_hi
+    )
 
 
 def point_to_plane_align_fused(
@@ -389,8 +404,20 @@ def point_to_plane_align_fused(
         interpret=interpret,
     )(pair_src, pair_tgt, n_pairs[None], unshift @ initial_T, src_pages, cached.pages)
 
+    # rebuild the (damped) JtJ of the final stats pass from the 21
+    # packed lower-triangle lanes; the GN ran in the REBASED frame, so
+    # the covariance mapping uses the PRE-shift transform
+    tri = stats[0, 3:24]
+    JtJ = jnp.zeros((6, 6), jnp.float32)
+    k = 0
+    for a in range(6):
+        for b in range(a + 1):
+            JtJ = JtJ.at[a, b].set(tri[k]).at[b, a].set(tri[k])
+            k += 1
     return PointToPlaneResult(
         transformation=shift @ T_out,
         rmse=stats[0, 0],
         n_correspondences=stats[0, 1].astype(jnp.int32),
+        cov_pose=pose_covariance_from_jtj(JtJ, T_out),
+        wr2=stats[0, 24],
     )

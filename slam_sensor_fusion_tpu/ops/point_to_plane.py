@@ -70,6 +70,33 @@ class PointToPlaneResult(NamedTuple):
     transformation: Array  # (4, 4)
     rmse: Array  # () plane-residual RMS over inliers
     n_correspondences: Array  # () int32 from the final iteration
+    #: unscaled (6, 6) covariance of the (dp, dtheta_body) pose error
+    #: from the final GN moments (pose_covariance_from_jtj); None when
+    #: the backend does not export it
+    cov_pose: Array | None = None
+    #: sum of w_in * r^2 over inliers at the final transform
+    wr2: Array | None = None
+
+
+def pose_covariance_from_jtj(JtJ: Array, T: Array, reg: float = 1e-6) -> Array:
+    """Map the GN information matrix to a pose-error covariance.
+
+    `JtJ` is the (Huber-weighted) 6x6 system of the left-perturbation
+    parameterization T <- exp([rho, phi]) T, expressed in whatever frame
+    the GN ran in; `T` is the final transform IN THAT FRAME. The EKF's
+    measurement error is (dp, dtheta_body) with dp = rho + phi x t and
+    dtheta_body = R^T phi, so the returned covariance is
+    C (JtJ + reg I)^-1 C^T with C = [[I, -skew(t)], [0, R^T]] —
+    parameterization-invariant, so rebased and world-frame GN solvers
+    yield the same result. Scale by the residual variance sigma^2 before
+    use as a measurement covariance."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    inv = jnp.linalg.inv(JtJ + reg * jnp.eye(6, dtype=jnp.float32))
+    top = jnp.concatenate([jnp.eye(3, dtype=jnp.float32), -geometry.skew(t)], axis=1)
+    bot = jnp.concatenate([jnp.zeros((3, 3), jnp.float32), R.T], axis=1)
+    C = jnp.concatenate([top, bot], axis=0)
+    return C @ inv @ C.T
 
 
 def estimate_normals(
@@ -419,7 +446,8 @@ def point_to_plane_align(
 
     T_final = jax.lax.fori_loop(0, config.num_iterations, gn_step, initial_T)
 
-    # final stats
+    # final stats (+ the GN covariance export for icp_cov_mode="gn":
+    # Huber-weighted JtJ at the final transform, world-frame J rows)
     pts = geometry.transform_points(T_final, src_rebased)
     d2, idx = associate(pts)
     q = jnp.take(target, idx, axis=0)
@@ -428,9 +456,17 @@ def point_to_plane_align(
     w = (source_mask & (d2 < gate) & nv).astype(jnp.float32)
     r = jnp.sum(n * (pts - q), axis=-1)
     cnt = jnp.maximum(jnp.sum(w), 1.0)
-    rmse = jnp.sqrt(jnp.sum(w * r * r) / cnt)
+    wr2 = jnp.sum(w * r * r)
+    rmse = jnp.sqrt(wr2 / cnt)
+    absr = jnp.abs(r)
+    wh = w * jnp.minimum(1.0, config.huber_delta / jnp.maximum(absr, 1e-12))
+    pxn = jnp.cross(pts, n)
+    J = jnp.concatenate([n, pxn], axis=-1)
+    JtJ = jnp.einsum("mi,mj,m->ij", J, J, wh)
     return PointToPlaneResult(
         transformation=T_final,
         rmse=rmse,
         n_correspondences=jnp.sum(w).astype(jnp.int32),
+        cov_pose=pose_covariance_from_jtj(JtJ, T_final),
+        wr2=wr2,
     )

@@ -149,6 +149,64 @@ def render_scan(
     return body.astype(np.float32)
 
 
+def _so3_V(phi: np.ndarray) -> np.ndarray:
+    """Left Jacobian V of SO(3) for batched rotation vectors (N, 3)."""
+    th = np.linalg.norm(phi, axis=-1, keepdims=True)
+    th = np.maximum(th, 1e-12)
+    a = phi / th
+    K = np.zeros(phi.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -a[..., 2], a[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = a[..., 2], -a[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -a[..., 1], a[..., 0]
+    th = th[..., None]
+    return (
+        np.eye(3)
+        + (1.0 - np.cos(th)) / th * K
+        + (1.0 - np.sin(th) / th) * (K @ K)
+    )
+
+
+def render_scan_skewed(
+    world: np.ndarray,
+    prev_T: np.ndarray,
+    curr_T: np.ndarray,
+    rng: np.random.Generator,
+    max_range: float = 35.0,
+    max_points: int = 20000,
+    noise: float = 0.01,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scan with intra-sweep motion: each point is measured from the pose
+    at its own sweep fraction tau (constant-twist interpolation
+    prev_T -> curr_T), then naively stacked as if one rigid frame — the
+    raw output of a spinning LiDAR on a moving platform. Returns
+    (points (N, 3) in the per-point measurement frames, tau (N,)).
+    `ops/deskew.deskew` with xi = se3_log(prev_T^-1 curr_T) maps them to
+    the end-of-sweep (curr) frame; BASELINE config 5's "deskewed scans".
+    """
+    from scipy.spatial.transform import Rotation as ScipyR
+
+    rel = np.linalg.inv(prev_T.astype(np.float64)) @ curr_T.astype(np.float64)
+    phi = ScipyR.from_matrix(rel[:3, :3]).as_rotvec()
+    rho = np.linalg.solve(_so3_V(phi[None])[0], rel[:3, 3])
+
+    d = np.linalg.norm(world - curr_T[:3, 3], axis=1)
+    sel = np.flatnonzero(d < max_range)
+    if len(sel) > max_points:
+        w = 1.0 / np.maximum(d[sel], 2.0) ** 2
+        w /= w.sum()
+        sel = rng.choice(sel, size=max_points, replace=False, p=w)
+        sel.sort()
+    tau = rng.uniform(0.0, 1.0, len(sel))
+
+    R_tau = ScipyR.from_rotvec(tau[:, None] * phi).as_matrix()  # (N, 3, 3)
+    t_tau = np.einsum("nij,nj->ni", _so3_V(tau[:, None] * phi), tau[:, None] * rho)
+    R_w = prev_T[:3, :3].astype(np.float64) @ R_tau
+    t_w = np.einsum("ij,nj->ni", prev_T[:3, :3].astype(np.float64), t_tau) + prev_T[:3, 3]
+    body = np.einsum("nji,nj->ni", R_w, world[sel] - t_w)
+    body = body + rng.normal(0, noise, body.shape)
+    return body.astype(np.float32), tau.astype(np.float32)
+
+
 @dataclasses.dataclass
 class SensorSequence:
     """Host-side arrays for one localization run (the log-replay equivalent

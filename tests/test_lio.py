@@ -54,6 +54,23 @@ def test_deskew_recovers_static_points(rng):
     np.testing.assert_allclose(np.asarray(fixed), expect, atol=1e-4)
 
 
+def test_deskew_matches_per_point_exp(rng):
+    """The fixed-axis Rodrigues deskew == the naive per-point matrix
+    formulation exp((tau-1) xi) p (the (N, 4, 4) path it replaced for
+    TPU speed — tiny-batched 3x3 matmuls tile terribly on the MXU)."""
+    pts = rng.uniform(-10, 10, (777, 3)).astype(np.float32)
+    tau = rng.uniform(0, 1, 777).astype(np.float32)
+    # include tau ~ 1 (angle ~ 0: series branch) and a big twist
+    tau[:10] = 1.0
+    xi = np.array([0.3, -0.2, 0.05, 0.04, -0.02, 0.3], np.float32)
+    T = geometry.se3_exp(jnp.asarray((tau[:, None] - 1.0) * xi))
+    expect = np.einsum(
+        "nij,nj->ni", np.asarray(T[:, :3, :3]), pts
+    ) + np.asarray(T[:, :3, 3])
+    got = np.asarray(deskew(jnp.asarray(pts), jnp.asarray(tau), jnp.asarray(xi)))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
 def test_lio_tracks_trajectory(rng):
     n_frames = 12
     world = syn.make_world(rng, extent=60.0, n_buildings=20, n_poles=50,
