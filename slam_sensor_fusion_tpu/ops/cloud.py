@@ -138,6 +138,32 @@ def compact(cloud: Cloud, out_capacity: int | None = None) -> Cloud:
     return Cloud(pts, msk)
 
 
+def compact_by_distance(
+    cloud: Cloud, center: Array, out_capacity: int | None = None
+) -> Cloud:
+    """Pack valid points to the front, ORDERED by distance from `center`.
+
+    PCL's kdtree radiusSearch returns hits sorted by distance, so the
+    reference's radius crops are distance-ordered clouds
+    (point_cloud_processing.hpp:37-49) and every index-based subsample
+    downstream selects a RANGE-STRATIFIED subset — most visibly
+    applyUniformSubsample(map, 15) feeding the coarse brute force
+    (localization_node.cpp:207-213). This is the parity-exact staging for
+    those call sites: a masked argsort on d2 (invalid rows sort last via
+    +inf keys, ties broken by index like a stable kd-tree traversal).
+    O(N log N) once per coarse attempt — startup-only, not in the
+    per-frame hot path, which keeps Morton order for gated NN.
+    """
+    out_capacity = out_capacity or cloud.capacity
+    d2 = jnp.sum((cloud.points - center[None, :]) ** 2, axis=-1)
+    key = jnp.where(cloud.mask, d2, jnp.inf)
+    order = jnp.argsort(key, stable=True)[:out_capacity]
+    pts = jnp.take(cloud.points, order, axis=0)
+    n = jnp.minimum(cloud.count(), out_capacity)
+    msk = jnp.arange(out_capacity) < n
+    return Cloud(pts, msk)
+
+
 def sample_to_capacity(cloud: Cloud, out_capacity: int) -> Cloud:
     """Evenly sample the valid points into a (possibly smaller) capacity.
 

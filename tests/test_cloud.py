@@ -112,3 +112,46 @@ def test_sample_to_capacity_even_stride(rng):
     got = cl.to_numpy(out)
     assert got.shape[0] == 25
     np.testing.assert_array_equal(got, pts[(np.arange(25) * 100) // 25])
+
+
+def test_compact_by_distance_matches_pcl_order(rng):
+    """compact_by_distance == PCL radiusSearch ordering: valid points
+    sorted by distance from the query (stable on ties), invalid dropped
+    (point_cloud_processing.hpp:37-49)."""
+    pts, c = make_cloud(rng, n=100, capacity=128)
+    center = np.asarray([1.0, -2.0, 0.5], np.float32)
+    out = cl.compact_by_distance(c, jnp.asarray(center))
+    d2 = ((pts - center) ** 2).sum(1)
+    expect = pts[np.argsort(d2, kind="stable")]
+    assert int(out.count()) == 100
+    np.testing.assert_array_equal(cl.to_numpy(out), expect)
+
+
+def test_bf_map_selection_is_range_stratified(rng):
+    """The coarse brute-force map staging (distance-ordered crop ->
+    every-kth -> removeFloor) selects EXACTLY the points the reference's
+    distance-sorted radiusSearch + applyUniformSubsample(15) would
+    (localization_node.cpp:207-213) — the round-2 crop-ordering parity
+    gap. Oracle in plain NumPy."""
+    n = 600
+    pts = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+    c = cl.from_numpy(pts, 1024)
+    center = np.zeros(3, np.float32)
+    step = 7
+
+    staged = cl.sample_to_capacity(
+        cl.remove_floor(
+            cl.uniform_subsample(
+                cl.compact_by_distance(c, jnp.asarray(center)), step
+            )
+        ),
+        256,
+    )
+
+    d2 = (pts ** 2).sum(1)
+    ordered = pts[np.argsort(d2, kind="stable")]  # PCL: sorted hits
+    sub = ordered[::step]  # applyUniformSubsample
+    expect = sub[sub[:, 2] > 0.0]  # removeFloor
+    got = cl.to_numpy(staged)
+    assert len(got) == len(expect)
+    np.testing.assert_array_equal(got, expect)

@@ -84,7 +84,12 @@ def _stage_coarse_clouds(map_cloud, scan_pts, scan_msk, pose, cfg):
 
     bf_map = cl.sample_to_capacity(
         cl.remove_floor(
-            cl.uniform_subsample(sorted_map, cfg.brute_force_map_subsample_step)
+            cl.uniform_subsample(
+                cl.compact_by_distance(
+                    sorted_map, jnp.asarray(pose[:3, 3], jnp.float32)
+                ),
+                cfg.brute_force_map_subsample_step,
+            )
         ),
         cfg.capacity.bf_target,
     )
