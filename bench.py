@@ -29,11 +29,15 @@ def log(*a):
 def bench_lio() -> None:
     """Native-mode hardware number (north-star configs 2-3/5): deskewed
     scan -> point-to-plane GN -> error-state EKF over a rolling keyframe
-    ring (models/lio.py). Prints ONE JSON line like the main bench."""
+    ring (models/lio.py). Scans are rendered WITH intra-sweep motion
+    (render_scan_skewed) and the measured loop deskews them — BASELINE
+    config 5's "deskewed scans" is now literally what runs. Prints ONE
+    JSON line like the main bench."""
     import jax
     import jax.numpy as jnp
 
     from slam_sensor_fusion_tpu.models import lio
+    from slam_sensor_fusion_tpu.models.ekf import EKFConfig
     from slam_sensor_fusion_tpu.ops.point_to_plane import PointToPlaneConfig
     from slam_sensor_fusion_tpu.utils import synthetic as syn
 
@@ -41,11 +45,17 @@ def bench_lio() -> None:
     chunk = int(os.environ.get("BENCH_CHUNK", str(n_frames - 1)))
     scan_cap = int(os.environ.get("BENCH_LIO_SCAN_CAP", "8192"))
     on_tpu = any("TPU" in d.device_kind for d in jax.devices())
-    # fused = whole-GN single-kernel registration (ops/p2p_fused.py) driven
-    # by run_lio_blocks (refresh hoisted out of the frame loop)
+    # block = whole-superblock kernel (ops/lio_superblock_fused.py): EKF
+    # propagate + GN + Kalman updates for refresh_every frames per launch;
+    # blocks = per-frame launches of the fused GN kernel (r2 driver)
+    driver = os.environ.get("BENCH_LIO_DRIVER", "block" if on_tpu else "blocks")
     backend = os.environ.get(
         "BENCH_LIO_BACKEND", "fused" if on_tpu else "xla"
     )
+    # skewed scans + in-loop deskew are the default now; BENCH_LIO_SKEW=0
+    # falls back to static rendering (for A/B: deskew off must degrade)
+    skew = os.environ.get("BENCH_LIO_SKEW", "1") == "1"
+    use_deskew = os.environ.get("BENCH_LIO_DESKEW", "1" if skew else "0") == "1"
     config = lio.LIOConfig(
         scan_capacity=scan_cap,
         window=int(os.environ.get("BENCH_LIO_WINDOW", "16")),
@@ -64,7 +74,21 @@ def bench_lio() -> None:
             # with prior-fixed correspondences the pair list only needs to
             # cover cm-scale GN corrections, not inter-iteration drift
             reassoc_margin=float(os.environ.get("BENCH_LIO_MARGIN", "0.15")),
+            # FAT tiles: the in-kernel pair loop is sequential and
+            # overhead-bound (~4 us/iteration regardless of tile width —
+            # measured TM=128: 516 pairs -> 3.3 ms/frame vs TM=512/
+            # TN=1024: ~80 pairs), so fewer+fatter pair blocks win even
+            # at slightly more distance evals
+            tile_src=int(os.environ.get("BENCH_LIO_TILE_SRC", "512")),
+            tile_tgt=int(os.environ.get("BENCH_LIO_TILE_TGT", "1024")),
+            # >= the target tile count: pair lists complete by construction
+            max_visits=int(os.environ.get("BENCH_LIO_MAX_VISITS", "64")),
         ),
+        # association work scales with scan x anchor density; register on
+        # every 4th scan point / every 2nd anchor point (Morton-sorted =>
+        # spatially uniform) while deskew + ring insert keep full scans
+        reg_subsample=int(os.environ.get("BENCH_LIO_REG_SUB", "4")),
+        anchor_subsample=int(os.environ.get("BENCH_LIO_ANCHOR_SUB", "2")),
         # truncated-Morton cell PCA: voxel-quality normals with no
         # argsort/scatter/eigh in the refresh (the voxel estimator costs
         # ~61 ms per 65k-point refresh on v5e, ~90% of the frame budget)
@@ -77,24 +101,63 @@ def bench_lio() -> None:
             float(os.environ["BENCH_LIO_PLANARITY"])
             if "BENCH_LIO_PLANARITY" in os.environ else None
         ),
+        # measurement covariance from the GN system itself (sigma^2
+        # (JtJ)^-1, VERDICT r2 #5) — no per-world std sweep; "constant"
+        # restores the fixed swept std below
+        icp_cov_mode=os.environ.get("BENCH_LIO_COV", "gn"),
+        gn_cov_scale=float(os.environ.get("BENCH_LIO_GN_SCALE", "1.0")),
         # registration against the ring map is RELATIVE (the ring drifts
         # with the estimate); don't let the EKF treat it as a cm-accurate
         # absolute fix or GPS can never bound the drift
         # measured sweep (v5e, 511 frames, GPS @ 0.5 m): std 0.03 -> ATE
         # 1.42 m, 0.1 -> 1.09, 0.3 -> 0.26 (GPS can finally correct)
         icp_pos_std=float(os.environ.get("BENCH_LIO_ICP_STD", "0.3")),
+        superstep_slack=float(os.environ.get("BENCH_LIO_SLACK", "0.05")),
+        slack_base=float(os.environ.get("BENCH_LIO_SLACK_BASE", "0.1")),
+        # the bench seeds pose AND velocity from the true initial state
+        # (v0 below); declare that in the priors or the wide default P0
+        # lets the first noisy GPS fixes yank the posterior ~0.5 m off the
+        # dead-reckoned prediction and trip the superstep slack budget on
+        # the warm-up blocks
+        ekf=EKFConfig(
+            init_pos_std=float(os.environ.get("BENCH_LIO_INIT_POS_STD", "0.1")),
+            init_vel_std=float(os.environ.get("BENCH_LIO_INIT_VEL_STD", "0.1")),
+        ),
     )
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  driver={driver}  skew={skew} "
+        f"deskew={use_deskew}  cov={config.icp_cov_mode}")
     rng = np.random.default_rng(0)
     world = syn.make_world(rng, extent=140.0, n_buildings=70, n_poles=200,
                            points_per_m2=24.0)
     poses = syn.make_trajectory(n_frames, speed_per_frame=0.15, radius=30.0)
     gyro, accel, dts = syn.make_imu(poses, gyro_noise=0.0005, accel_noise=0.005)
-    scans = [
-        syn.render_scan(world, poses[i], rng, max_points=scan_cap, max_range=25.0)
-        for i in range(n_frames)
-    ]
+    if skew:
+        scans, taus = [], []
+        for i in range(n_frames):
+            pts, tau = syn.render_scan_skewed(
+                world, poses[max(i - 1, 0)], poses[i], rng,
+                max_points=scan_cap, max_range=25.0,
+            )
+            scans.append(pts)
+            taus.append(tau)
+    else:
+        scans = [
+            syn.render_scan(world, poses[i], rng, max_points=scan_cap,
+                            max_range=25.0)
+            for i in range(n_frames)
+        ]
+        taus = [np.ones(len(s), np.float32) for s in scans]
+    # loader-contract Morton pre-sort (ops/morton.sort_order_numpy): tile
+    # locality survives the rigid transforms of the whole pipeline, so
+    # the device never re-sorts and every-kth subsampling is spatially
+    # uniform; deskew timestamps ride the same permutation
+    from slam_sensor_fusion_tpu.ops.morton import sort_order_numpy
+
+    for i in range(n_frames):
+        order = sort_order_numpy(scans[i], isotropic=True)
+        scans[i] = scans[i][order]
+        taus[i] = taus[i][order]
 
     def pad(pts):
         buf = np.zeros((scan_cap, 3), np.float32)
@@ -107,6 +170,9 @@ def bench_lio() -> None:
     padded = [pad(s) for s in scans]
     sp = np.stack([p for p, _ in padded])
     sm = np.stack([m for _, m in padded])
+    tp = np.ones((n_frames, scan_cap), np.float32)
+    for i, t in enumerate(taus):
+        tp[i, : min(len(t), scan_cap)] = t[:scan_cap]
     state = lio.init_state(
         config, jnp.asarray(sp[0]), jnp.asarray(sm[0]), jnp.asarray(poses[0])
     )
@@ -135,13 +201,30 @@ def bench_lio() -> None:
                     sp[i + 1 : j + 1], sm[i + 1 : j + 1], gyro[i:j],
                     accel[i:j], dts[i:j], gps_pos[i:j],
                     np.full(j - i, gps_noise**2, np.float32), gps_valid[i:j],
+                    tp[i + 1 : j + 1],
                 )
             )
         )
 
+    if driver == "block":
+
+        def run(s, b):
+            *core, tau = b
+            return lio.run_lio_superblocks(
+                s, *core, config, scan_tau=tau if use_deskew else None
+            )
+
+    else:
+
+        def run(s, b):
+            *core, tau = b
+            return lio.run_lio_blocks(
+                s, *core, config, scan_tau=tau if use_deskew else None
+            )
+
     log("compiling ...")
     t0 = time.perf_counter()
-    ws, _ = lio.run_lio_blocks(state, *batches[0], config)
+    ws, _ = run(state, batches[0])
     np.asarray(ws.ekf_state.p)
     log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
 
@@ -149,7 +232,7 @@ def bench_lio() -> None:
     s = state
     outs = []
     for b in batches:
-        s, o = lio.run_lio_blocks(s, *b, config)
+        s, o = run(s, b)
         outs.append(o)
     np.asarray(s.ekf_state.p)
     elapsed = time.perf_counter() - t0
@@ -157,7 +240,28 @@ def bench_lio() -> None:
     est = np.concatenate([np.asarray(o.world_T_body) for o in outs])
     gt = poses[1:]
     ate = float(np.sqrt(((est[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean()))
-    log(f"frames: {total}  elapsed: {elapsed:.3f}s  ATE-RMSE: {ate:.3f} m")
+    extra = ""
+    if driver == "block":
+        n_ovf = int(sum(np.asarray(o.pair_overflow).sum() for o in outs))
+        viol = np.concatenate([np.asarray(o.slack_violation) for o in outs])
+        sdist = np.concatenate([np.asarray(o.slack_dist) for o in outs])
+        n_slack = int(viol.sum())
+        demand = np.concatenate([np.asarray(o.pair_demand) for o in outs])
+        extra = (
+            f"  pair-overflow: {n_ovf}  slack-violations: {n_slack}"
+            f"  pair-demand mean/p99/max: {demand.mean():.0f}/"
+            f"{np.percentile(demand, 99):.0f}/{demand.max()}"
+            f"  slack-dist p99/max: {np.percentile(sdist, 99):.3f}/"
+            f"{sdist.max():.3f}"
+        )
+        if n_slack:
+            idx = np.nonzero(viol)[0]
+            extra += f"  viol-frames: {idx[:16].tolist()}"
+    log(f"frames: {total}  elapsed: {elapsed:.3f}s  ATE-RMSE: {ate:.3f} m"
+        + extra)
+    if driver == "block":
+        assert n_ovf == 0, f"pair list overflow on {n_ovf} frames"
+        assert n_slack == 0, f"superstep slack violated on {n_slack} frames"
     print(
         json.dumps(
             {
@@ -194,6 +298,12 @@ def main() -> None:
         # 512 -> 385.7, 1024 -> 423.1 scans/s (fewer pair-loop trips);
         # tile_tgt 512 stays best (256 -> 423.1, 1024 -> 414.9)
         os.environ.setdefault("BENCH_TILE_SRC", "1024")
+        # FINE sub-box pair gating (ops/nn_gated.subtile_pair_dist2):
+        # fat 1024-pt Morton tiles go ragged and their coarse bboxes
+        # over-admit target tiles; sub-box min-distance gating recovers
+        # the cluster structure (the LIO-path result, VERDICT r2 #3)
+        os.environ.setdefault("BENCH_GATE_SUB_SRC", "64")
+        os.environ.setdefault("BENCH_GATE_SUB_TGT", "64")
 
     import jax
     import jax.numpy as jnp
@@ -258,6 +368,16 @@ def main() -> None:
             tile_tgt=int(os.environ.get("BENCH_TILE_TGT", "512")),
             max_visits=int(os.environ.get("BENCH_MAX_VISITS", "128")),
             max_pairs_factor=int(os.environ.get("BENCH_PAIRS_FACTOR", "128")),
+            gate_sub_src=(
+                int(os.environ["BENCH_GATE_SUB_SRC"])
+                if os.environ.get("BENCH_GATE_SUB_SRC") not in (None, "", "0")
+                else None
+            ),
+            gate_sub_tgt=(
+                int(os.environ["BENCH_GATE_SUB_TGT"])
+                if os.environ.get("BENCH_GATE_SUB_TGT") not in (None, "", "0")
+                else None
+            ),
         ),
         # capacities sized to the synthetic sensor (24k raw points -> 12k
         # after the host subsample; ~45k map points in a 10 m crop)
@@ -397,10 +517,15 @@ def main() -> None:
     n_overflow = int(
         np.concatenate([np.asarray(o.pair_overflow) for o in outs])[valid_mask].sum()
     )
+    # superstep slack observability (VERDICT r2 #6): every realized prior
+    # stayed within the pair prologue's dilation budget
+    sv = [o.slack_violation for o in outs if o.slack_violation is not None]
+    n_slack = int(np.concatenate([np.asarray(v) for v in sv])[valid_mask].sum()) if sv else 0
     log(f"frames: {total_frames}  elapsed: {elapsed:.3f}s  "
         f"ATE-RMSE: {ate:.3f} m  icp-converged: {conv:.2f}  "
-        f"pair-overflow frames: {n_overflow}")
+        f"pair-overflow frames: {n_overflow}  slack-violations: {n_slack}")
     assert n_overflow == 0, f"correspondence list overflow on {n_overflow} frames"
+    assert n_slack == 0, f"superstep slack violated on {n_slack} frames"
 
     print(
         json.dumps(

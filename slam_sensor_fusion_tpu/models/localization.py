@@ -98,6 +98,19 @@ class StepOutput(NamedTuple):
     #: f32 — min |det| of the fused kernel's Kabsch moment matrix (0 on
     #: non-fused paths); near-0 = degenerate correspondence geometry
     icp_det_min: Array
+    #: superblock-only (None on the per-frame engine): the realized prior
+    #: drifted from the dead-reckoned prediction the pair prologue used by
+    #: more than that frame's dilation budget (superstep_slack * k +
+    #: slack_base) — the pair list may be incomplete; assert zero in
+    #: healthy runs, next to pair_overflow
+    slack_violation: Array | None = None
+    #: f32 — realized |prior - prediction| translation drift (0 = unused)
+    slack_dist: Array | None = None
+    #: (num_iterations,) f32 per-iteration ICP error, NaN past the last
+    #: executed iteration — the reference's printStepDebug trace
+    #: (icp_point_to_point.cpp:171-183); None unless
+    #: config.icp.debug_trace (legacy XLA/while-loop engines only)
+    icp_error_trace: Array | None = None
 
 
 def init_state(
@@ -127,6 +140,14 @@ def init_state(
             lo=jnp.full((n_tt, 3), jnp.inf, jnp.float32),
             hi=jnp.full((n_tt, 3), -jnp.inf, jnp.float32),
             center=jnp.zeros(3, jnp.float32),
+            sub_lo=(
+                jnp.full((cap // config.icp.gate_sub_tgt, 3), jnp.inf)
+                if config.icp.gate_sub_tgt is not None else None
+            ),
+            sub_hi=(
+                jnp.full((cap // config.icp.gate_sub_tgt, 3), -jnp.inf)
+                if config.icp.gate_sub_tgt is not None else None
+            ),
         ),
     )
 
@@ -177,6 +198,7 @@ def _preprocess(
             sorted_map.mask,
             state.map_T_sensor[:3, 3],
             config.icp.tile_tgt,
+            gate_sub=config.icp.gate_sub_tgt,
         )
         return sorted_map, cache
 
@@ -264,6 +286,7 @@ def _fine(
         recropped=recropped,
         pair_overflow=jnp.asarray(icp_result.pair_overflow, bool),
         icp_det_min=jnp.asarray(icp_result.det_min, jnp.float32),
+        icp_error_trace=icp_result.error_trace,
     )
     return new_state, out
 
@@ -380,12 +403,17 @@ def coarse_attempt(
     )
 
     # brute-force inputs: subsample(map, 15) + removeFloor(both) (:207-213).
-    # cropped_map is already packed (compact crop), so the index-based
-    # subsample matches the reference's compact PCL clouds; the results are
-    # then capacity-bounded with even sampling.
+    # The reference's crop is DISTANCE-ordered (kd-tree radiusSearch sorts
+    # hits, point_cloud_processing.hpp:37-49), so its every-15th subsample
+    # is a range-stratified subset; re-order the packed crop by distance
+    # from the crop pose before the index-based subsample for selection
+    # parity. Startup-only: the per-frame path keeps Morton order.
     bf_map = cl.sample_to_capacity(
         cl.remove_floor(
-            cl.uniform_subsample(cropped_map, config.brute_force_map_subsample_step)
+            cl.uniform_subsample(
+                cl.compact_by_distance(cropped_map, map_T_ref[:3, 3]),
+                config.brute_force_map_subsample_step,
+            )
         ),
         config.capacity.bf_target,
     )
@@ -685,6 +713,17 @@ class Localizer:
                     "CALLBACK TOOK %f seconds (chunk of %d frames: %.3fs)",
                     elapsed / max(n, 1), n, elapsed,
                 )
+                if getattr(outs, "icp_error_trace", None) is not None:
+                    # the reference's per-iteration printStepDebug lines
+                    # (icp_point_to_point.cpp:171-183)
+                    for f, tr in enumerate(np.asarray(outs.icp_error_trace)):
+                        for it, e in enumerate(tr):
+                            if np.isnan(e):
+                                break
+                            _log.info(
+                                "[ICP INFO] frame %d iteration %d - Error: %f",
+                                i + f, it, float(e),
+                            )
                 if debug_dir is not None:
                     self._emit_debug(debug_dir, state, scans, out_T, i, j)
             i = j

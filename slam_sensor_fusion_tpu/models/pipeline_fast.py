@@ -54,7 +54,11 @@ from slam_sensor_fusion_tpu.ops.icp_fused import (
     build_cached_target,
     icp_align_fused_paged,
 )
-from slam_sensor_fusion_tpu.ops.nn_gated import pair_tiles
+from slam_sensor_fusion_tpu.ops.nn_gated import (
+    pair_tiles,
+    pair_tiles_from_d2,
+    subtile_pair_dist2,
+)
 from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list
 from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
 
@@ -177,6 +181,15 @@ def _transformed_tile_boxes(pred: Array, lo: Array, hi: Array):
     The rotated-AABB hull is a dilation of the true point hull, so pair
     admissibility stays a superset (never misses a true pair).
     """
+    # inverted (empty) boxes -> far POINT boxes before the corner
+    # transform: tile_bboxes marks empties as (+inf, -inf), whose mixed
+    # ±inf corners turn into NaNs under the rotation (inf - inf), and a
+    # single NaN sub-box poisons the subtile_pair_dist2 min for its whole
+    # tile (NaN <= r2 is False -> every pair of that tile silently
+    # dropped). A finite far point box stays inadmissible and NaN-free.
+    emp = jnp.any(lo > hi, axis=-1, keepdims=True)
+    lo = jnp.where(emp, _FAR, lo)
+    hi = jnp.where(emp, _FAR, hi)
     sel = jnp.asarray(_CORNER_SEL)  # (8, 3)
     corners = jnp.where(
         sel[None, None, :, :], hi[:, :, None, :], lo[:, :, None, :]
@@ -186,6 +199,51 @@ def _transformed_tile_boxes(pred: Array, lo: Array, hi: Array):
         + pred[:, None, None, :3, 3]
     )
     return jnp.min(wc, axis=2), jnp.max(wc, axis=2)
+
+
+def _page_subboxes(pages: Array, cnt: Array, gate_sub: int):
+    """FINE gating sub-boxes from page-layout frames.
+
+    pages (K, nSt, 3, TM) with +_FAR sentinels and valid-first rows;
+    cnt (K, nSt) -> (lo, hi) of shape (K, nSt * TM // gate_sub, 3) in the
+    pages' frame. Empty sub-groups yield inverted boxes, sanitized to far
+    point boxes by `_transformed_tile_boxes`.
+    """
+    K, nSt, _, TM = pages.shape
+    q = TM // gate_sub
+    grp = pages.reshape(K, nSt, 3, q, gate_sub)
+    row = jnp.arange(TM).reshape(q, gate_sub)
+    valid = (row[None, None] < cnt[..., None, None])[:, :, None]  # K,nSt,1,q,g
+    lo = jnp.min(jnp.where(valid, grp, jnp.inf), axis=4)  # (K, nSt, 3, q)
+    hi = jnp.max(jnp.where(valid, grp, -jnp.inf), axis=4)
+    lo = lo.transpose(0, 1, 3, 2).reshape(K, nSt * q, 3)
+    hi = hi.transpose(0, 1, 3, 2).reshape(K, nSt * q, 3)
+    return lo, hi
+
+
+def _slack_check(
+    priors: Array, pred: Array, valid: Array, config: LocalizationConfig
+):
+    """Superstep slack-violation observability (VERDICT r2 #6).
+
+    The pair prologue built frame k's tile-pair list from the
+    dead-reckoned prediction with a search radius dilated by
+    `slack_base + superstep_slack * k`. If the REALIZED prior drifted
+    further than that from the prediction (GPS jump, stochastic-gate
+    replacement), the list may silently miss admissible pairs — flag it.
+    Translation-only, like the LIO kernel's check: the boxes were built
+    at the predicted ROTATION too, but per-frame rotation corrections are
+    mrad-scale and their box effect is bounded by the corner dilation.
+    """
+    K = priors.shape[0]
+    slack_dist = jnp.linalg.norm(
+        priors[:, :3, 3] - pred[:, :3, 3], axis=1
+    )
+    budget = config.slack_base + config.superstep_slack * jnp.arange(
+        K, dtype=jnp.float32
+    )
+    viol = valid & (slack_dist > budget)
+    return jnp.where(valid, slack_dist, 0.0), viol
 
 
 class _PerFrame(NamedTuple):
@@ -236,7 +294,7 @@ def _superstep(
         sorted_map = morton.sort_by_morton(packed)
         cache = build_cached_target(
             sorted_map.points, sorted_map.mask, center_pose[:3, 3],
-            icp_cfg.tile_tgt,
+            icp_cfg.tile_tgt, gate_sub=icp_cfg.gate_sub_tgt,
         )
         return sorted_map, cache
 
@@ -246,17 +304,41 @@ def _superstep(
     map_T_ref = jnp.where(need, center_pose, state.map_T_ref)
 
     # ---- pair lists for all K frames in one vectorized prologue ----
-    lo_s, hi_s = _transformed_tile_boxes(pred, blk.src_lo, blk.src_hi)
+    # dilation covers the slack-violation budget exactly: slack_base +
+    # slack * k of realized-prior drift on top of the gate + in-ICP margin
     base_r = math.sqrt(icp_cfg.max_correspondence_dist_sq) + icp_cfg.reassoc_margin
     radius2 = (
-        base_r + config.superstep_slack * jnp.arange(K, dtype=jnp.float32)
+        base_r
+        + config.slack_base
+        + config.superstep_slack * jnp.arange(K, dtype=jnp.float32)
     ) ** 2
-    visits, counts, v_ovf = jax.vmap(
-        pair_tiles, in_axes=(0, 0, 0, None, None, 0, None)
-    )(
-        lo_s, hi_s, blk.src_cnt, cached_target.lo, cached_target.hi,
-        radius2, icp_cfg.max_visits,
-    )
+    if icp_cfg.gate_sub_src is not None and cached_target.sub_lo is not None:
+        # FINE sub-box gating (ops/nn_gated.subtile_pair_dist2): ragged
+        # Morton tiles get coarse bboxes that over-admit; the min over
+        # (src sub-box, tgt sub-box) pairs recovers the cluster structure
+        # while staying a superset of the true point-pair distances
+        slo, shi = _page_subboxes(
+            blk.src_pages, blk.src_cnt, icp_cfg.gate_sub_src
+        )
+        slo_w, shi_w = _transformed_tile_boxes(pred, slo, shi)
+        nSt_ = blk.src_cnt.shape[1]
+        nTt_ = cached_target.lo.shape[0]
+        d2_tiles = jax.vmap(
+            lambda l, h: subtile_pair_dist2(
+                l, h, cached_target.sub_lo, cached_target.sub_hi, nSt_, nTt_
+            )
+        )(slo_w, shi_w)
+        visits, counts, v_ovf = jax.vmap(
+            pair_tiles_from_d2, in_axes=(0, 0, 0, None)
+        )(d2_tiles, blk.src_cnt, radius2, icp_cfg.max_visits)
+    else:
+        lo_s, hi_s = _transformed_tile_boxes(pred, blk.src_lo, blk.src_hi)
+        visits, counts, v_ovf = jax.vmap(
+            pair_tiles, in_axes=(0, 0, 0, None, None, 0, None)
+        )(
+            lo_s, hi_s, blk.src_cnt, cached_target.lo, cached_target.hi,
+            radius2, icp_cfg.max_visits,
+        )
     pair_src, pair_tgt, n_pairs = jax.vmap(
         lambda v, c: _build_pair_list(v, c, max_pairs)
     )(visits, counts)
@@ -282,6 +364,7 @@ def _superstep(
             state.filter_state.previous_pose, cached_target.center,
             cached_target.pages, config, interpret=interpret,
         )
+        slack_dist, slack_viol = _slack_check(priors, pred, blk.valid, config)
         outs = StepOutput(
             map_T_sensor=poses,
             map_T_sensor_prior=priors,
@@ -293,6 +376,8 @@ def _superstep(
             recropped=need & (jnp.arange(K) == 0),
             pair_overflow=blk.valid & pair_ovf,
             icp_det_min=stats[:, 4],
+            slack_violation=slack_viol,
+            slack_dist=slack_dist,
         )
         new_state = PipelineState(
             map_T_sensor=pose_n,
@@ -372,8 +457,13 @@ def _superstep(
         (state.map_T_sensor, state.odom_T_sensor_previous, state.filter_state),
         xs,
     )
+    slack_dist, slack_viol = _slack_check(
+        outs.map_T_sensor_prior, pred, blk.valid, config
+    )
     outs = outs._replace(
         recropped=need & (jnp.arange(K) == 0),
+        slack_violation=slack_viol,
+        slack_dist=slack_dist,
     )
 
     new_state = PipelineState(

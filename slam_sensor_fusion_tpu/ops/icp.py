@@ -78,11 +78,16 @@ class ICPResult(NamedTuple):
     #: fused kernel's Newton-polar solve (0 for non-fused paths); values
     #: near 0 mean a degenerate (planar/linear) correspondence set.
     det_min: Array | float = 0.0
+    #: (num_iterations,) f32 per-iteration mean error, NaN beyond the
+    #: last executed iteration — the reference's printStepDebug signal
+    #: ("[ICP INFO] Iteration i - Error: e", icp_point_to_point.cpp:
+    #: 171-183). Exported only with ICPConfig.debug_trace.
+    error_trace: Array | None = None
 
 
 def _result(
     enough, final_T, final_err, final_i, n_corr0, initial_T, config,
-    pair_overflow=None,
+    pair_overflow=None, error_trace=None,
 ):
     # iterations counter: the reference counts completed step iterations
     # (icp_point_to_point.cpp:234); the early-exit path does not increment.
@@ -98,6 +103,7 @@ def _result(
         n_correspondences=n_corr0,
         pair_overflow=pair_overflow,
         det_min=jnp.float32(0.0),
+        error_trace=error_trace if config.debug_trace else None,
     )
 
 
@@ -154,6 +160,8 @@ class _PState(NamedTuple):
     #: past `reassoc_margin` the list may miss true neighbours -> rebuild
     moved: Array
     pair_overflow: Array
+    #: (num_iterations,) per-iteration error (printStepDebug trace)
+    err_trace: Array
 
 
 def _pages_bboxes(pages: Array, mask_pages: Array):
@@ -296,6 +304,7 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
             n_pairs=n_pairs_c,
             moved=moved_new,
             pair_overflow=s.pair_overflow | ovf_c,
+            err_trace=s.err_trace.at[s.i].set(error),
         )
 
     # NOTE: the rebased frame shifts translations by `center`; run the
@@ -318,12 +327,14 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
         n_pairs=n_pairs,
         moved=jnp.float32(0.0),
         pair_overflow=pair_overflow,
+        err_trace=jnp.full(config.num_iterations, jnp.nan, jnp.float32),
     )
     final = jax.lax.while_loop(cond, body, init)
     final_T = shift @ final.T
     return _result(
         enough, final_T, final.last_error, final.i, n_corr0, initial_T, config,
         pair_overflow=final.pair_overflow,
+        error_trace=final.err_trace,
     )
 
 
@@ -341,6 +352,8 @@ class _State(NamedTuple):
     last_error: Array
     error: Array
     done: Array
+    #: (num_iterations,) per-iteration error (printStepDebug trace)
+    err_trace: Array
 
 
 def _masked_mean_error(pts: Array, corr: Array, alive: Array) -> Array:
@@ -390,13 +403,15 @@ def _icp_xla(source, source_mask, target, target_mask, initial_T, config, use_ga
     def body(s: _State) -> _State:
         error = _masked_mean_error(s.pts, s.corr, s.alive)
         hit_acceptable = error < config.acceptable_mean_error
+        trace = s.err_trace.at[s.i].set(error)
 
-        def after_accept(s=s, error=error):
+        def after_accept(s=s, error=error, trace=trace):
             return _State(
-                s.i, s.T, s.pts, s.corr, s.alive, error, error, jnp.bool_(True)
+                s.i, s.T, s.pts, s.corr, s.alive, error, error,
+                jnp.bool_(True), trace,
             )
 
-        def take_step(s=s, error=error):
+        def take_step(s=s, error=error, trace=trace):
             need_reassoc = (
                 jnp.abs(s.last_error - error) < config.transformation_epsilon
             )
@@ -409,7 +424,8 @@ def _icp_xla(source, source_mask, target, target_mask, initial_T, config, use_ga
             T_new = T_step @ s.T
             pts_new = geometry.transform_points(T_step, s.pts)
             return _State(
-                s.i + 1, T_new, pts_new, corr, alive, error, error, jnp.bool_(False)
+                s.i + 1, T_new, pts_new, corr, alive, error, error,
+                jnp.bool_(False), trace,
             )
 
         return jax.lax.cond(hit_acceptable, after_accept, take_step)
@@ -423,11 +439,13 @@ def _icp_xla(source, source_mask, target, target_mask, initial_T, config, use_ga
         last_error=jnp.float32(_F32_MAX),
         error=jnp.float32(_F32_MAX),
         done=~enough,
+        err_trace=jnp.full(config.num_iterations, jnp.nan, jnp.float32),
     )
     final = jax.lax.while_loop(cond, body, init)
     return _result(
         enough, final.T, final.last_error, final.i, n_corr0, initial_T, config,
         pair_overflow=pair_overflow,
+        error_trace=final.err_trace,
     )
 
 

@@ -405,16 +405,29 @@ class CachedTarget(NamedTuple):
     lo: Array  # (nTt, 3) tile bbox minima (original frame)
     hi: Array  # (nTt, 3)
     center: Array  # (3,) the rebase point (crop pose translation)
+    #: FINE gating sub-boxes (nTt * q, 3), original frame — see
+    #: ops/nn_gated.subtile_pair_dist2 (ragged-Morton-tile cull)
+    sub_lo: Array | None = None
+    sub_hi: Array | None = None
 
 
 def build_cached_target(
-    target: Array, target_mask: Array, center: Array, tile_tgt: int
+    target: Array,
+    target_mask: Array,
+    center: Array,
+    tile_tgt: int,
+    gate_sub: int | None = None,
 ) -> CachedTarget:
     from slam_sensor_fusion_tpu.ops.morton import tile_bboxes
 
     pages = make_pages(target, target_mask, center, tile_tgt, sentinel=-1.0e7)
     lo, hi, _ = tile_bboxes(target, target_mask, tile_tgt)
-    return CachedTarget(pages=pages, lo=lo, hi=hi, center=center)
+    sub_lo = sub_hi = None
+    if gate_sub is not None:
+        sub_lo, sub_hi, _ = tile_bboxes(target, target_mask, gate_sub)
+    return CachedTarget(
+        pages=pages, lo=lo, hi=hi, center=center, sub_lo=sub_lo, sub_hi=sub_hi
+    )
 
 
 def _fused_core(

@@ -78,6 +78,19 @@ class ICPConfig:
     #: (ops/icp.py); "fast" = fresh-correspondence whole-ICP fused kernel
     #: (ops/icp_fused.py) — the native performance mode
     mode: str = "parity"
+    #: points per FINE gating sub-box (ops/nn_gated.subtile_pair_dist2).
+    #: Fixed-count Morton tiles go ragged at curve-order discontinuities
+    #: and their coarse bboxes over-admit; min-distance over sub-box pairs
+    #: recovers the cluster structure (still a superset of the true point
+    #: distances, so no admissible pair is ever missed). None = coarse
+    #: per-tile boxes. Used by the superblock pair prologue
+    #: (models/pipeline_fast.py); must divide tile_src / tile_tgt.
+    gate_sub_src: int | None = None
+    gate_sub_tgt: int | None = None
+    #: export the per-iteration mean-error trace (ICPResult.error_trace)
+    #: — the reference's printStepDebug signal under enable_debug
+    #: (icp_point_to_point.cpp:171-183). XLA/while-loop engines only.
+    debug_trace: bool = False
 
 
 
@@ -203,6 +216,11 @@ class LocalizationConfig:
     #: lookahead [m] — bounds the accumulated ICP/blend correction between
     #: the odometry-predicted pose and the true per-frame prior
     superstep_slack: float = 0.08
+    #: frame-0 share of the slack budget: the realized prior deviates from
+    #: the dead-reckoned prediction even at the block start (GPS blend
+    #: pull, stochastic-gate replacement). The slack-violation flag fires
+    #: when |prior - prediction| > superstep_slack * k + slack_base.
+    slack_base: float = 0.1
     #: run parity-mode ICP (the reference's exact lazy control flow, as
     #: the fused kernel's lazy variant) through the superblock pipeline.
     #: ICP semantics stay reference-exact; only the map re-crop

@@ -70,8 +70,10 @@ def icp_oracle(
     last_error = np.finfo(np.float32).max
     iters = 0
     error = last_error
+    errors = []  # per-iteration printStepDebug trace
     for _ in range(num_iterations):
         error = float(np.linalg.norm(pts - corr, axis=1).mean())
+        errors.append(error)
         if error < acceptable_mean_error:
             last_error = error
             break
@@ -90,6 +92,7 @@ def icp_oracle(
         error=last_error,
         iterations=iters,
         converged=last_error < acceptable_mean_error,
+        errors=errors,
     )
 
 

@@ -87,6 +87,41 @@ def test_icp_matches_oracle_trajectory(rng):
     )
 
 
+def test_icp_debug_trace_matches_oracle_per_iteration(rng):
+    """ICPConfig.debug_trace exports the reference's printStepDebug signal
+    (icp_point_to_point.cpp:171-183): per-iteration mean error, matching
+    the oracle's loop error-for-error; NaN past the last executed pass."""
+    import dataclasses
+
+    tgt = make_scene(rng, n=450)
+    T_perturb = small_T(rng, rot=0.05, trans=0.25)
+    src = (tgt - T_perturb[:3, 3]) @ T_perturb[:3, :3]
+    src = src + rng.normal(0, 0.02, src.shape).astype(np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+
+    ref = icp_oracle(
+        src.astype(np.float64), tgt.astype(np.float64), T0.astype(np.float64)
+    )
+
+    cfg = dataclasses.replace(ICPConfig(), debug_trace=True)
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 512)
+    res = icp_align(s, sm, t, tm, jnp.asarray(T0), cfg)
+
+    trace = np.asarray(res.error_trace)
+    assert trace.shape == (cfg.num_iterations,)
+    n_rec = int(np.sum(~np.isnan(trace)))
+    assert n_rec == len(ref["errors"])
+    np.testing.assert_allclose(
+        trace[:n_rec], np.asarray(ref["errors"], np.float32),
+        rtol=1e-3, atol=1e-4,
+    )
+    assert np.isnan(trace[n_rec:]).all()
+    # without the flag the result stays trace-free (no output bloat)
+    res2 = icp_align(s, sm, t, tm, jnp.asarray(T0), ICPConfig())
+    assert res2.error_trace is None
+
+
 def test_icp_early_exit_when_aligned(rng):
     tgt = make_scene(rng, n=300)
     s, sm = padded(tgt, 512)

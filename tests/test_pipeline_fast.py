@@ -183,10 +183,15 @@ def test_superblock_recrop_and_overflow_flags():
     cfg = FAST_CONFIG
     loc = Localizer(map_data, cfg)
     gps_T = loc.gps_poses(seq.gps_lat, seq.gps_lon, seq.compass_yaw)
+    # start from the TRUE pose (the production flow's coarse alignment
+    # delivers this): a raw noisy GPS init would be corrected ~1 m by
+    # frame 0's ICP, and frames 1+ of that block would then legitimately
+    # trip the slack-violation flag (pair lists built at the stale
+    # block-start pose) — that transient is asserted separately below
     state = init_state(
         cfg,
         loc.map_cloud.capacity,
-        jnp.asarray(gps_T[0]),
+        jnp.asarray(seq.true_map_T_sensor[0], jnp.float32),
         jnp.asarray(seq.odom_T_sensor[0], jnp.float32),
     )
     frames = pf.build_paged_frames(
@@ -204,11 +209,175 @@ def test_superblock_recrop_and_overflow_flags():
     outs = jax.tree.map(np.asarray, outs)
     assert outs.recropped[0]  # first block must populate the empty crop
     assert not outs.pair_overflow.any()
+    # healthy steady-state run: every realized prior stayed inside the
+    # pair-list dilation budget (slack-violation observability, r2 #6)
+    assert not outs.slack_violation.any()
+    assert (outs.slack_dist >= 0).all()
     assert (outs.n_correspondences > 100).all()
     # the carry advanced
     assert not np.allclose(
         np.asarray(final.map_T_sensor), np.asarray(state.map_T_sensor)
     )
+
+
+SUBGATE_CONFIG = dataclasses.replace(
+    FAST_CONFIG,
+    icp=dataclasses.replace(
+        FAST_CONFIG.icp, gate_sub_src=64, gate_sub_tgt=64
+    ),
+)
+
+
+def test_subbox_gating_equivalent_end_to_end():
+    """FINE sub-box pair gating (ICPConfig.gate_sub_*) must not change the
+    fast pipeline's output: gating stays a superset of the true point-pair
+    distances, so every in-gate correspondence survives and the fine loop
+    sees identical geometry. Only the pair-list contents shrink."""
+    seq, map_data = build_world_and_sequence(n_frames=16, seed=7)
+    runs = {}
+    for name, cfg in [("coarse", FAST_CONFIG), ("sub", SUBGATE_CONFIG)]:
+        loc = Localizer(map_data, cfg)
+        runs[name] = loc.run(
+            seq.scans,
+            seq.odom_T_sensor,
+            seq.gps_lat,
+            seq.gps_lon,
+            seq.gps_alt,
+            seq.compass_yaw,
+            seq.odom_cov_trace,
+            seq.gps_cov_trace,
+            chunk=8,
+        )
+    a, b = runs["coarse"], runs["sub"]
+    va = a.valid & b.valid
+    assert va[5:].all()
+    d = np.linalg.norm(
+        a.map_T_sensor[va][:, :3, 3] - b.map_T_sensor[va][:, :3, 3], axis=1
+    )
+    assert d.max() < 1e-4, f"sub-box gating changed the trajectory: {d.max()}"
+
+
+def test_subbox_prologue_superset_and_reduction(rng):
+    """Prologue-level contract: sub-box tile-pair distances (1) never
+    exceed the coarse bbox distance is FALSE in general — they never
+    UNDERCUT the true point-pair minimum (superset of admissibility), and
+    (2) admit no more pairs than coarse boxes."""
+    from slam_sensor_fusion_tpu.models.pipeline_fast import (
+        _page_subboxes,
+        _transformed_tile_boxes,
+    )
+    from slam_sensor_fusion_tpu.ops.morton import (
+        bbox_pair_dist2,
+        tile_bboxes,
+    )
+    from slam_sensor_fusion_tpu.ops.nn_gated import subtile_pair_dist2
+    from slam_sensor_fusion_tpu.ops.nn_pallas import make_pages
+
+    TM, TN, gs, gt = 256, 512, 64, 64
+    # clustered source so Morton tiles go ragged; count NOT a multiple of
+    # the sub-box size (empty sub-groups must stay NaN-free: the
+    # _transformed_tile_boxes sanitize regression)
+    n_src = 2 * TM + 37
+    src = np.concatenate(
+        [
+            rng.normal([-6, -6, 0], 0.5, (n_src // 3, 3)),
+            rng.normal([6, 6, 1], 0.5, (n_src // 3, 3)),
+            rng.normal([6, -6, 2], 0.5, (n_src - 2 * (n_src // 3), 3)),
+        ]
+    ).astype(np.float32)
+    src = morton.sort_points_numpy(src, isotropic=True)
+    tgt = rng.uniform(-8, 8, (4 * TN, 3)).astype(np.float32)
+    tgt = morton.sort_points_numpy(tgt, isotropic=True)
+
+    S = 3 * TM  # capacity with one partial + zero-count tail handling
+    buf = np.full((S, 3), 1.0e7, np.float32)
+    buf[:n_src] = src
+    msk = np.arange(S) < n_src
+    nSt, nTt = S // TM, len(tgt) // TN
+
+    pages = jnp.asarray(buf.reshape(nSt, TM, 3).transpose(0, 2, 1))[None]
+    cnt = jnp.asarray(
+        np.clip(n_src - np.arange(nSt) * TM, 0, TM).astype(np.int32)
+    )[None]
+    pred = jnp.eye(4, dtype=jnp.float32)[None]
+
+    slo, shi = _page_subboxes(pages, cnt, gs)
+    slo_w, shi_w = _transformed_tile_boxes(pred, slo, shi)
+    tlo, thi, _ = tile_bboxes(jnp.asarray(tgt), jnp.ones(len(tgt), bool), gt)
+    d2_sub = np.asarray(
+        subtile_pair_dist2(slo_w[0], shi_w[0], tlo, thi, nSt, nTt)
+    )
+    assert np.isfinite(d2_sub[np.asarray(cnt[0]) > 0].min(axis=1)).all()
+
+    # coarse distances for comparison
+    clo, chi, ccnt = tile_bboxes(jnp.asarray(buf), jnp.asarray(msk), TM)
+    ctlo, cthi, _ = tile_bboxes(jnp.asarray(tgt), jnp.ones(len(tgt), bool), TN)
+    d2_coarse = np.asarray(bbox_pair_dist2(clo, chi, ctlo, cthi))
+
+    # true point-pair minimum per (src tile, tgt tile)
+    d_true = np.full((nSt, nTt), np.inf, np.float32)
+    for i in range(nSt):
+        sp = buf[i * TM : (i + 1) * TM][msk[i * TM : (i + 1) * TM]]
+        if not len(sp):
+            continue
+        for j in range(nTt):
+            tp = tgt[j * TN : (j + 1) * TN]
+            d = ((sp[:, None] - tp[None]) ** 2).sum(-1).min()
+            d_true[i, j] = d
+
+    # (1) sub-box distance never exceeds the true point distance
+    valid_rows = np.asarray(cnt[0]) > 0
+    assert (
+        d2_sub[valid_rows] <= d_true[valid_rows] + 1e-3
+    ).all(), "sub-box gating undercuts a true pair (would drop it)"
+    # (2) sub-box distance is at least the coarse distance (tighter gate)
+    finite = np.isfinite(d2_coarse)
+    assert (
+        d2_sub[valid_rows & np.ones(nSt, bool)][:, :][finite[valid_rows]]
+        >= d2_coarse[valid_rows][finite[valid_rows]] - 1e-3
+    ).all()
+    # and it genuinely prunes on ragged clustered tiles
+    r2 = 0.5
+    assert (d2_sub <= r2).sum() <= (d2_coarse <= r2).sum()
+
+
+def test_slack_violation_flag_trips_on_gps_yank():
+    """A mid-block GPS pose far from the odometry prediction with a tiny
+    GPS covariance yanks the blended prior beyond the pair prologue's
+    dilation budget — the slack-violation flag must fire on exactly the
+    affected (valid) frames."""
+    from slam_sensor_fusion_tpu.models.localization import init_state
+
+    seq, map_data = build_world_and_sequence(n_frames=12, seed=3)
+    cfg = FAST_CONFIG
+    loc = Localizer(map_data, cfg)
+    gps_T = loc.gps_poses(seq.gps_lat, seq.gps_lon, seq.compass_yaw)
+    state = init_state(
+        cfg,
+        loc.map_cloud.capacity,
+        jnp.asarray(gps_T[0]),
+        jnp.asarray(seq.odom_T_sensor[0], jnp.float32),
+    )
+    gps_T = np.asarray(gps_T[1:9]).copy()
+    gps_tr = np.asarray(seq.gps_cov_trace[1:9]).copy()
+    # frame 2 (block-local k=2): 2 m GPS jump, near-zero covariance so
+    # the covariance-weighted blend follows it almost exactly. Early in
+    # the block ON PURPOSE: the stochastic gate's z-score is 0 while its
+    # queue warms up (stochastic_filter.cpp:60-63), so the yanked prior
+    # passes through un-replaced — exactly the case the pair prologue
+    # cannot have predicted.
+    gps_T[2, :3, 3] += np.array([2.0, 0, 0], np.float32)
+    gps_tr[2] = 1e-6
+    frames = pf.build_paged_frames(
+        cfg, seq.scans[1:9], seq.odom_T_sensor[1:9], gps_T,
+        seq.odom_cov_trace[1:9], gps_tr, np.ones(8, bool),
+    )
+    _, outs = pf.run_chunk_fast(state, frames, loc.map_cloud, cfg, interpret=True)
+    outs = jax.tree.map(np.asarray, outs)
+    assert outs.slack_violation[2], (
+        f"2 m GPS yank not flagged: dist={outs.slack_dist[2]}"
+    )
+    assert outs.slack_dist[2] > 1.0
 
 
 def test_superblock_parity_tracks_legacy_parity_engine():
