@@ -60,7 +60,10 @@ def bench_lio() -> None:
         scan_capacity=scan_cap,
         window=int(os.environ.get("BENCH_LIO_WINDOW", "16")),
         slot_points=int(os.environ.get("BENCH_LIO_SLOT", "4096")),
-        refresh_every=int(os.environ.get("BENCH_LIO_REFRESH", "8")),
+        # measured (v5e, superblock kernel): 8 -> 650.0 @ ATE 0.054,
+        # 16 -> 768.0 @ 0.049 (refresh ~0.4 ms/frame at 8, halved; the
+        # slack budget's per-frame dilation covers the longer block)
+        refresh_every=int(os.environ.get("BENCH_LIO_REFRESH", "16")),
         p2p=PointToPlaneConfig(
             nn_backend=backend,
             # measured (v5e, cells normals 1.8): iters 4 -> 124.3 @ 0.149,
@@ -298,12 +301,12 @@ def main() -> None:
         # 512 -> 385.7, 1024 -> 423.1 scans/s (fewer pair-loop trips);
         # tile_tgt 512 stays best (256 -> 423.1, 1024 -> 414.9)
         os.environ.setdefault("BENCH_TILE_SRC", "1024")
-        # FINE sub-box pair gating (ops/nn_gated.subtile_pair_dist2):
-        # fat 1024-pt Morton tiles go ragged and their coarse bboxes
-        # over-admit target tiles; sub-box min-distance gating recovers
-        # the cluster structure (the LIO-path result, VERDICT r2 #3)
-        os.environ.setdefault("BENCH_GATE_SUB_SRC", "64")
-        os.environ.setdefault("BENCH_GATE_SUB_TGT", "64")
+        # sub-box pair gating measured SLOWER here (v5e: gate 64/64 ->
+        # 367.9 scans/s vs coarse boxes -> 499.7 @ the same ATE 0.027):
+        # at stress shapes the map crop is dense and near-isotropic, so
+        # sub-boxes barely shrink the admitted set while the (K, nSub_s,
+        # nSub_t) prologue cost is real. Coarse tile boxes by default;
+        # BENCH_GATE_SUB_* opts back in.
 
     import jax
     import jax.numpy as jnp
@@ -521,9 +524,49 @@ def main() -> None:
     # stayed within the pair prologue's dilation budget
     sv = [o.slack_violation for o in outs if o.slack_violation is not None]
     n_slack = int(np.concatenate([np.asarray(v) for v in sv])[valid_mask].sum()) if sv else 0
+    sstr = ""
+    sd = [o.slack_dist for o in outs if o.slack_dist is not None]
+    if sd:
+        sdist = np.concatenate([np.asarray(d) for d in sd])[valid_mask]
+        K = len(np.asarray(sv[0]))
+        kidx = np.arange(len(sdist)) % K
+        worst = np.argsort(sdist)[-3:][::-1]
+        sstr = "  slack-dist top3 (d, k): " + " ".join(
+            f"({sdist[i]:.3f}, {kidx[i]})" for i in worst
+        )
+        if os.environ.get("BENCH_SLACK_DIAG"):
+            svf = np.concatenate([np.asarray(v) for v in sv])[valid_mask]
+            convf = np.concatenate(
+                [np.asarray(o.icp_converged) for o in outs]
+            )[valid_mask]
+            ncor = np.concatenate(
+                [np.asarray(o.n_correspondences) for o in outs]
+            )[valid_mask]
+            prior = np.concatenate(
+                [np.asarray(o.map_T_sensor_prior) for o in outs]
+            )[valid_mask]
+            odo = np.concatenate(
+                [np.asarray(o.map_T_sensor_odom) for o in outs]
+            )[valid_mask]
+            for i in np.where(svf)[0]:
+                lo = max(i - i % K, i - 4)
+                for j in range(lo, min(i + 2, len(sdist))):
+                    gd = np.linalg.norm(
+                        prior[j, :3, 3] - odo[j, :3, 3]
+                    )
+                    log(f"  diag f={j} k={j % K} d={sdist[j]:.3f} "
+                        f"conv={convf[j]} ncor={ncor[j]} "
+                        f"|prior-odomchain|={gd:.3f} viol={svf[j]}")
+    dm = [o.pair_demand for o in outs if o.pair_demand is not None]
+    dstr = ""
+    if dm:
+        demand = np.concatenate([np.asarray(d) for d in dm])[valid_mask]
+        dstr = (f"  pair-demand mean/p99/max: {demand.mean():.0f}/"
+                f"{np.percentile(demand, 99):.0f}/{demand.max()}")
     log(f"frames: {total_frames}  elapsed: {elapsed:.3f}s  "
         f"ATE-RMSE: {ate:.3f} m  icp-converged: {conv:.2f}  "
-        f"pair-overflow frames: {n_overflow}  slack-violations: {n_slack}")
+        f"pair-overflow frames: {n_overflow}  slack-violations: {n_slack}"
+        + dstr + sstr)
     assert n_overflow == 0, f"correspondence list overflow on {n_overflow} frames"
     assert n_slack == 0, f"superstep slack violated on {n_slack} frames"
 

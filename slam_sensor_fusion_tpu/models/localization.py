@@ -81,6 +81,14 @@ class PipelineState(NamedTuple):
     filter_state: sf.FilterState
     #: target pages/bboxes for the fused ICP, rebuilt only at re-crop
     cached_target: CachedTarget
+    #: () f32 — extra pair-prologue dilation carried by the FIRST
+    #: superblock after (re)initialization: the coarse-alignment pose can
+    #: be off by up to the fine-acceptance gate (~sqrt(0.5) m,
+    #: localization_node.cpp:307-315) and ICP grinds that error out over
+    #: several frames, so the realized chain legitimately departs the
+    #: block-start prediction by up to this much. Consumed (reset to 0)
+    #: after one valid block; fast path only.
+    extra_slack: Array = jnp.float32(0.0)
 
 
 class StepOutput(NamedTuple):
@@ -111,6 +119,10 @@ class StepOutput(NamedTuple):
     #: (icp_point_to_point.cpp:171-183); None unless
     #: config.icp.debug_trace (legacy XLA/while-loop engines only)
     icp_error_trace: Array | None = None
+    #: i32 — total admissible (src, tgt) tile pairs this frame BEFORE
+    #: capacity clipping (fast path only): the realized association load.
+    #: Drift/gating regressions show up here before they overflow.
+    pair_demand: Array | None = None
 
 
 def init_state(
@@ -149,6 +161,7 @@ def init_state(
                 if config.icp.gate_sub_tgt is not None else None
             ),
         ),
+        extra_slack=jnp.float32(config.startup_slack),
     )
 
 
@@ -274,6 +287,7 @@ def _fine(
         cropped_map=cropped_map,
         filter_state=filter_state,
         cached_target=cached_target,
+        extra_slack=state.extra_slack,
     )
     out = StepOutput(
         map_T_sensor=icp_result.transformation,

@@ -55,7 +55,8 @@ from slam_sensor_fusion_tpu.ops.icp_fused import (
     icp_align_fused_paged,
 )
 from slam_sensor_fusion_tpu.ops.nn_gated import (
-    pair_tiles,
+    bbox_pair_dist2,
+    pair_demand_from_d2,
     pair_tiles_from_d2,
     subtile_pair_dist2,
 )
@@ -222,25 +223,35 @@ def _page_subboxes(pages: Array, cnt: Array, gate_sub: int):
 
 
 def _slack_check(
-    priors: Array, pred: Array, valid: Array, config: LocalizationConfig
+    priors: Array,
+    pred: Array,
+    valid: Array,
+    config: LocalizationConfig,
+    gps_pull: Array,
 ):
     """Superstep slack-violation observability (VERDICT r2 #6).
 
     The pair prologue built frame k's tile-pair list from the
     dead-reckoned prediction with a search radius dilated by
-    `slack_base + superstep_slack * k`. If the REALIZED prior drifted
-    further than that from the prediction (GPS jump, stochastic-gate
-    replacement), the list may silently miss admissible pairs — flag it.
-    Translation-only, like the LIO kernel's check: the boxes were built
-    at the predicted ROTATION too, but per-frame rotation corrections are
-    mrad-scale and their box effect is bounded by the corner dilation.
+    `slack_base + superstep_slack * k + gps_pull[k]`. If the REALIZED
+    prior drifted further than that from the prediction (stochastic-gate
+    replacement, in-block ICP correction chain), the list may silently
+    miss admissible pairs — flag it. The GPS blend itself is NOT slack:
+    the prologue knows the per-frame GPS poses and covariance gains, so
+    its exact translation pull is folded into the dilation (`gps_pull`)
+    rather than budgeted as a constant. Translation-only, like the LIO
+    kernel's check: the boxes were built at the predicted ROTATION too,
+    but per-frame rotation corrections are mrad-scale and their box
+    effect is bounded by the corner dilation.
     """
     K = priors.shape[0]
     slack_dist = jnp.linalg.norm(
         priors[:, :3, 3] - pred[:, :3, 3], axis=1
     )
-    budget = config.slack_base + config.superstep_slack * jnp.arange(
-        K, dtype=jnp.float32
+    budget = (
+        config.slack_base
+        + config.superstep_slack * jnp.arange(K, dtype=jnp.float32)
+        + gps_pull
     )
     viol = valid & (slack_dist > budget)
     return jnp.where(valid, slack_dist, 0.0), viol
@@ -305,12 +316,34 @@ def _superstep(
 
     # ---- pair lists for all K frames in one vectorized prologue ----
     # dilation covers the slack-violation budget exactly: slack_base +
-    # slack * k of realized-prior drift on top of the gate + in-ICP margin
+    # slack * k of realized-prior drift on top of the gate + in-ICP
+    # margin, PLUS the per-frame GPS blend pull. The fine loop's prior is
+    # blend(odom_chain_k, gps_k); the prologue knows gps_k and the gains,
+    # so the blend's translation pull |gps_gain * (gps_t - pred_t)| is an
+    # exactly-known offset, not slack — fold it into the dilation so GPS
+    # noise never silently shrinks the admissible pair set (and so a
+    # stochastic-gate snap-back toward the odometry chain stays covered
+    # by the undilated center).
     base_r = math.sqrt(icp_cfg.max_correspondence_dist_sq) + icp_cfg.reassoc_margin
+    _, gps_gain = _pose_gains(
+        blk.odom_cov_trace, blk.gps_cov_trace, config
+    )
+    gps_pull = gps_gain * jnp.linalg.norm(
+        blk.map_T_sensor_gps[:, :3, 3] - pred[:, :3, 3], axis=1
+    )
+    gps_pull = jnp.where(blk.valid, gps_pull, 0.0)
+    # running max: a pull at frame j persists into frames k > j when
+    # frame j's ICP aborts/diverges and the pulled prior is kept as the
+    # posterior (the chain then carries ~pull_j until ICP re-converges);
+    # the largest single pull seen so far bounds that carried offset.
+    # extra_slack: the first block after (re)initialization additionally
+    # carries the coarse-alignment error that ICP grinds out in-block.
+    gps_pull = jax.lax.cummax(gps_pull) + state.extra_slack
     radius2 = (
         base_r
         + config.slack_base
         + config.superstep_slack * jnp.arange(K, dtype=jnp.float32)
+        + gps_pull
     ) ** 2
     if icp_cfg.gate_sub_src is not None and cached_target.sub_lo is not None:
         # FINE sub-box gating (ops/nn_gated.subtile_pair_dist2): ragged
@@ -333,16 +366,17 @@ def _superstep(
         )(d2_tiles, blk.src_cnt, radius2, icp_cfg.max_visits)
     else:
         lo_s, hi_s = _transformed_tile_boxes(pred, blk.src_lo, blk.src_hi)
-        visits, counts, v_ovf = jax.vmap(
-            pair_tiles, in_axes=(0, 0, 0, None, None, 0, None)
-        )(
-            lo_s, hi_s, blk.src_cnt, cached_target.lo, cached_target.hi,
-            radius2, icp_cfg.max_visits,
+        d2_tiles = jax.vmap(bbox_pair_dist2, in_axes=(0, 0, None, None))(
+            lo_s, hi_s, cached_target.lo, cached_target.hi
         )
+        visits, counts, v_ovf = jax.vmap(
+            pair_tiles_from_d2, in_axes=(0, 0, 0, None)
+        )(d2_tiles, blk.src_cnt, radius2, icp_cfg.max_visits)
+    demand = jax.vmap(pair_demand_from_d2)(d2_tiles, blk.src_cnt, radius2)
     pair_src, pair_tgt, n_pairs = jax.vmap(
         lambda v, c: _build_pair_list(v, c, max_pairs)
     )(visits, counts)
-    pair_ovf = v_ovf | (jnp.sum(counts, axis=1) > max_pairs)  # (K,)
+    pair_ovf = v_ovf | (demand > max_pairs)  # (K,)
 
     if config.block_kernel:
         # ---- whole-superblock kernel: one launch for the K-frame fine
@@ -364,7 +398,9 @@ def _superstep(
             state.filter_state.previous_pose, cached_target.center,
             cached_target.pages, config, interpret=interpret,
         )
-        slack_dist, slack_viol = _slack_check(priors, pred, blk.valid, config)
+        slack_dist, slack_viol = _slack_check(
+            priors, pred, blk.valid, config, gps_pull
+        )
         outs = StepOutput(
             map_T_sensor=poses,
             map_T_sensor_prior=priors,
@@ -378,6 +414,7 @@ def _superstep(
             icp_det_min=stats[:, 4],
             slack_violation=slack_viol,
             slack_dist=slack_dist,
+            pair_demand=jnp.where(blk.valid, demand, 0),
         )
         new_state = PipelineState(
             map_T_sensor=pose_n,
@@ -388,6 +425,7 @@ def _superstep(
                 transitions=trans_n, count=count_n, previous_pose=fprev_n
             ),
             cached_target=cached_target,
+            extra_slack=jnp.where(any_valid, 0.0, state.extra_slack),
         )
         return new_state, outs
 
@@ -458,12 +496,13 @@ def _superstep(
         xs,
     )
     slack_dist, slack_viol = _slack_check(
-        outs.map_T_sensor_prior, pred, blk.valid, config
+        outs.map_T_sensor_prior, pred, blk.valid, config, gps_pull
     )
     outs = outs._replace(
         recropped=need & (jnp.arange(K) == 0),
         slack_violation=slack_viol,
         slack_dist=slack_dist,
+        pair_demand=jnp.where(blk.valid, demand, 0),
     )
 
     new_state = PipelineState(
@@ -473,6 +512,7 @@ def _superstep(
         cropped_map=cropped_map,
         filter_state=filt,
         cached_target=cached_target,
+        extra_slack=jnp.where(any_valid, 0.0, state.extra_slack),
     )
     return new_state, outs
 

@@ -92,6 +92,14 @@ def subtile_pair_dist2(
     return jnp.min(jnp.min(d2, axis=3), axis=1)
 
 
+def pair_demand_from_d2(d2: Array, cnt_s: Array, radius2) -> Array:
+    """Total admissible (src, tgt) tile pairs BEFORE capacity clipping —
+    the realized association load (observability; sizes max_visits /
+    max_pairs)."""
+    adm = (d2 <= radius2) & (cnt_s[:, None] > 0)
+    return jnp.sum(adm.astype(jnp.int32))
+
+
 def pair_tiles_from_d2(
     d2: Array, cnt_s: Array, radius2: float, max_visits: int
 ) -> tuple[Array, Array, Array]:

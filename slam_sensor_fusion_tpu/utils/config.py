@@ -221,6 +221,13 @@ class LocalizationConfig:
     #: pull, stochastic-gate replacement). The slack-violation flag fires
     #: when |prior - prediction| > superstep_slack * k + slack_base.
     slack_base: float = 0.1
+    #: extra pair-prologue dilation for the FIRST superblock after
+    #: (re)initialization, seeded into PipelineState.extra_slack: the
+    #: coarse brute-force pose can be off by up to the fine-acceptance
+    #: gate sqrt(max_correspondence_dist_sq) ~= 0.707 m
+    #: (localization_node.cpp:307-315), and ICP grinds that error out
+    #: over several frames of the first block.
+    startup_slack: float = 0.71
     #: run parity-mode ICP (the reference's exact lazy control flow, as
     #: the fused kernel's lazy variant) through the superblock pipeline.
     #: ICP semantics stay reference-exact; only the map re-crop

@@ -341,11 +341,12 @@ def test_subbox_prologue_superset_and_reduction(rng):
     assert (d2_sub <= r2).sum() <= (d2_coarse <= r2).sum()
 
 
-def test_slack_violation_flag_trips_on_gps_yank():
-    """A mid-block GPS pose far from the odometry prediction with a tiny
-    GPS covariance yanks the blended prior beyond the pair prologue's
-    dilation budget — the slack-violation flag must fire on exactly the
-    affected (valid) frames."""
+def test_gps_yank_is_covered_by_pull_aware_dilation():
+    """A mid-block GPS jump with near-zero covariance yanks the blended
+    prior metres from the odometry prediction — but the pair prologue
+    KNOWS the per-frame GPS poses and blend gains, folds the exact pull
+    into its dilation, and must therefore NOT flag it (the pair list was
+    built wide enough)."""
     from slam_sensor_fusion_tpu.models.localization import init_state
 
     seq, map_data = build_world_and_sequence(n_frames=12, seed=3)
@@ -364,8 +365,7 @@ def test_slack_violation_flag_trips_on_gps_yank():
     # the covariance-weighted blend follows it almost exactly. Early in
     # the block ON PURPOSE: the stochastic gate's z-score is 0 while its
     # queue warms up (stochastic_filter.cpp:60-63), so the yanked prior
-    # passes through un-replaced — exactly the case the pair prologue
-    # cannot have predicted.
+    # passes through un-replaced.
     gps_T[2, :3, 3] += np.array([2.0, 0, 0], np.float32)
     gps_tr[2] = 1e-6
     frames = pf.build_paged_frames(
@@ -374,10 +374,54 @@ def test_slack_violation_flag_trips_on_gps_yank():
     )
     _, outs = pf.run_chunk_fast(state, frames, loc.map_cloud, cfg, interpret=True)
     outs = jax.tree.map(np.asarray, outs)
-    assert outs.slack_violation[2], (
-        f"2 m GPS yank not flagged: dist={outs.slack_dist[2]}"
+    assert outs.slack_dist[2] > 1.0, (
+        f"yank did not move the prior: dist={outs.slack_dist[2]}"
     )
-    assert outs.slack_dist[2] > 1.0
+    assert not outs.slack_violation[2], (
+        "exactly-known GPS pull must be dilation, not slack"
+    )
+
+
+def test_slack_violation_flag_trips_on_gate_replacement():
+    """The one prior source the pair prologue CANNOT fold into its
+    dilation: a stochastic-gate replacement (apply_gate,
+    stochastic_filter.cpp:94-113) lands the prior at the filter's
+    weighted-mean prediction. Seed the transition queue with bogus 3 m
+    hops (full count, so the z-score is live); frame 0's ordinary prior
+    is then an outlier vs the queue stats, the gate snaps it to
+    previous_pose + ~3 m, and the slack-violation flag must fire."""
+    from slam_sensor_fusion_tpu.models.localization import init_state
+    from slam_sensor_fusion_tpu.ops import stochastic_filter as sf
+
+    seq, map_data = build_world_and_sequence(n_frames=12, seed=3)
+    cfg = FAST_CONFIG
+    loc = Localizer(map_data, cfg)
+    gps_T = loc.gps_poses(seq.gps_lat, seq.gps_lon, seq.compass_yaw)
+    state = init_state(
+        cfg,
+        loc.map_cloud.capacity,
+        jnp.asarray(gps_T[0]),
+        jnp.asarray(seq.odom_T_sensor[0], jnp.float32),
+    )
+    hop = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(3.0)
+    q = cfg.filter.queue_size
+    state = state._replace(
+        filter_state=sf.FilterState(
+            transitions=jnp.tile(hop[None], (q, 1, 1)),
+            count=jnp.int32(q),
+            previous_pose=state.map_T_sensor,
+        )
+    )
+    frames = pf.build_paged_frames(
+        cfg, seq.scans[1:9], seq.odom_T_sensor[1:9], np.asarray(gps_T[1:9]),
+        seq.odom_cov_trace[1:9], seq.gps_cov_trace[1:9], np.ones(8, bool),
+    )
+    _, outs = pf.run_chunk_fast(state, frames, loc.map_cloud, cfg, interpret=True)
+    outs = jax.tree.map(np.asarray, outs)
+    assert outs.slack_violation[0], (
+        f"gate replacement not flagged: dist={outs.slack_dist[0]}"
+    )
+    assert outs.slack_dist[0] > 1.0
 
 
 def test_superblock_parity_tracks_legacy_parity_engine():
