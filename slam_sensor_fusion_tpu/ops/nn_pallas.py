@@ -74,6 +74,34 @@ def _build_pair_list(
     return pair_src, pair_tgt, jnp.minimum(total, max_pairs)
 
 
+def _build_tile_pair_list(
+    visits: Array, counts: Array, max_pairs: int
+) -> tuple[Array, Array, Array]:
+    """Flatten (visits, counts) into a row-major flat target list plus
+    per-src-tile (start, count) offsets.
+
+    The tile-major kernels (ops/icp_fused.py, ops/superblock_fused.py)
+    walk src tiles in the outer loop and each tile's admitted target run
+    `pair_tgt[start[i] : start[i] + cnt[i]]` in the inner loop, keeping
+    the running best in registers. Truncation matches _build_pair_list:
+    entries past `max_pairs` are dropped (counts clipped so that
+    start + cnt <= max_pairs); callers flag overflow separately.
+    """
+    nSt = counts.shape[0]
+    starts = jnp.cumsum(counts) - counts  # row start offsets
+    pair_src = jnp.repeat(
+        jnp.arange(nSt, dtype=jnp.int32), counts, total_repeat_length=max_pairs
+    )
+    p = jnp.arange(max_pairs, dtype=jnp.int32)
+    rank = p - jnp.take(starts, pair_src)
+    pair_src = jnp.clip(pair_src, 0, nSt - 1)
+    rank = jnp.clip(rank, 0, visits.shape[1] - 1)
+    pair_tgt = visits[pair_src, rank]
+    cnt = jnp.clip(jnp.minimum(counts, max_pairs - starts), 0)
+    start = jnp.clip(starts, 0, max_pairs - 1)
+    return start.astype(jnp.int32), cnt.astype(jnp.int32), pair_tgt
+
+
 def _make_kernel(tile_src: int, tile_tgt: int):
     def kernel(
         pair_src_ref,  # (max_pairs,) SMEM

@@ -127,9 +127,9 @@ def _make_superblock_kernel(
 
     def kernel(
         # SMEM
-        pair_src_ref,  # (K, max_pairs) i32
-        pair_tgt_ref,  # (K, max_pairs) i32
-        n_pairs_ref,  # (K,) i32
+        pair_start_ref,  # (K, nSt) i32 per-src-tile offsets into pair_tgt
+        pair_cnt_ref,  # (K, nSt) i32 per-src-tile admitted-tile counts
+        pair_tgt_ref,  # (K, max_pairs) i32 flat row-major target tiles
         valid_ref,  # (K,) i32
         odom_tr_ref,  # (K,) f32
         gps_tr_ref,  # (K,) f32
@@ -156,46 +156,65 @@ def _make_superblock_kernel(
         best_xyz_ref,  # (nSt, 3, TM)
         alive_ref,  # (nSt, 1, TM) f32 (lazy mode's shrinking set)
     ):
-        ones3 = jnp.ones((3, 1), jnp.float32)
         cx = jnp.stack([center_ref[0], center_ref[1], center_ref[2]])
+        nSt_s = best_d2_ref.shape[0]
 
         def associate(k, R, t):
-            """icp_fused's pair-list association for frame k's list."""
-            best_d2_ref[...] = jnp.full_like(best_d2_ref, _BIG)
-            best_xyz_ref[...] = jnp.zeros_like(best_xyz_ref)
+            """icp_fused's tile-major association for frame k's list:
+            outer loop over src tiles, inner loop over each tile's
+            admitted target run, running best in registers, direct
+            (tx-sx)^2 VPU broadcast distances (see ops/icp_fused.py
+            associate for the cost analysis vs the per-pair K=3 matmul).
+            """
 
-            def pair_body(p, _):
-                i = pair_src_ref[k, p]
-                j = pair_tgt_ref[k, p]
-                s = R @ src_pages_ref[k, i] + t[:, None]  # (3, TM)
-                tt = tgt_pages_ref[j]  # (3, TN)
-                cross = jax.lax.dot_general(
-                    tt, s, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+            def tile_body(i, _):
+                sp = src_pages_ref[k, i]  # (3, TM)
+                spx, spy, spz = sp[0:1], sp[1:2], sp[2:3]
+                sx = R[0, 0] * spx + R[0, 1] * spy + R[0, 2] * spz + t[0]
+                sy = R[1, 0] * spx + R[1, 1] * spy + R[1, 2] * spz + t[1]
+                sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
+                start = pair_start_ref[k, i]
+                cnt = pair_cnt_ref[k, i]
+
+                def inner(q, carry):
+                    bmin, bx, by, bz = carry
+                    j = pair_tgt_ref[k, start + q]
+                    tt = tgt_pages_ref[j]  # (3, TN)
+                    txc = tt[0].reshape(tile_tgt, 1)
+                    tyc = tt[1].reshape(tile_tgt, 1)
+                    tzc = tt[2].reshape(tile_tgt, 1)
+                    dx = txc - sx  # (TN, TM)
+                    dy = tyc - sy
+                    dz = tzc - sz
+                    d2 = dx * dx + dy * dy + dz * dz
+                    tile_min = jnp.min(d2, axis=0, keepdims=True)
+                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_tgt, tile_src), 0
+                    )
+                    onehot = (rows == arg).astype(jnp.float32)
+                    coords = jax.lax.dot_general(
+                        tt, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    better = tile_min < bmin
+                    return (
+                        jnp.where(better, tile_min, bmin),
+                        jnp.where(better, coords[0:1], bx),
+                        jnp.where(better, coords[1:2], by),
+                        jnp.where(better, coords[2:3], bz),
+                    )
+
+                big = jnp.full((1, tile_src), _BIG)
+                zero = jnp.zeros((1, tile_src), jnp.float32)
+                bmin, bx, by, bz = jax.lax.fori_loop(
+                    0, cnt, inner, (big, zero, zero, zero)
                 )
-                s_norm = jnp.sum(s * s, axis=0, keepdims=True)
-                t_norm = jax.lax.dot_general(
-                    tt * tt, ones3, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                d2 = t_norm - 2.0 * cross + s_norm
-                tile_min = jnp.min(d2, axis=0, keepdims=True)
-                arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_tgt, tile_src), 0
-                )
-                onehot = (rows == arg).astype(jnp.float32)
-                coords = jax.lax.dot_general(
-                    tt, onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                old = best_d2_ref[i]
-                better = tile_min < old
-                best_d2_ref[i] = jnp.where(better, tile_min, old)
-                best_xyz_ref[i] = jnp.where(better, coords, best_xyz_ref[i])
+                best_d2_ref[i] = bmin
+                best_xyz_ref[i] = jnp.concatenate([bx, by, bz], axis=0)
                 return 0
 
-            jax.lax.fori_loop(0, n_pairs_ref[k], pair_body, 0)
+            jax.lax.fori_loop(0, nSt_s, tile_body, 0)
 
         def reduce_moments(k, R, t, w):
             s_all = src_pages_ref[k]  # (nSt, 3, TM)
@@ -537,9 +556,9 @@ def _make_superblock_kernel(
 
 def superblock_fine(
     src_pages: Array,  # (K, nSt, 3, TM)
-    pair_src: Array,  # (K, max_pairs)
-    pair_tgt: Array,
-    n_pairs: Array,  # (K,)
+    pair_start: Array,  # (K, nSt) per-src-tile offsets into pair_tgt
+    pair_cnt: Array,  # (K, nSt) per-src-tile admitted-tile counts
+    pair_tgt: Array,  # (K, max_pairs) flat row-major target tiles
     valid: Array,  # (K,) bool
     odom_T: Array,  # (K, 4, 4)
     gps_T: Array,  # (K, 4, 4)
@@ -587,9 +606,9 @@ def superblock_fine(
         ],
         interpret=interpret,
     )(
-        pair_src,
+        pair_start,
+        pair_cnt,
         pair_tgt,
-        n_pairs,
         valid.astype(jnp.int32),
         odom_tr,
         gps_tr,

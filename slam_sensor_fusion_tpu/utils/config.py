@@ -184,6 +184,14 @@ class LocalizationConfig:
 
     #: radius crop around the sensor, scan and map (localization_node.h)
     cloud_crop_radius: float = 10.0
+    #: the map is Morton pre-sorted ONCE at load (host, Localizer) so the
+    #: per-re-crop device sort can be skipped: a compact() of a globally
+    #: Z-ordered map preserves spatial tile locality inside the crop.
+    #: Order-invariant semantics — gated NN is exact within admitted
+    #: pairs and tile admission uses realized point bboxes; measured
+    #: ~3-4 ms of argsort+gather saved per re-crop on v5e. Set False when
+    #: feeding step()/run_chunk* an unsorted map cloud directly.
+    presorted_map: bool = True
     #: re-crop the map once we moved this far from the reference frame
     #: (localization_node.cpp:299-305)
     ref_frame_distance: float = 3.0

@@ -317,7 +317,7 @@ def test_lazy_fused_kernel_matches_parity_xla(rng):
         icp_align_fused_paged,
     )
     from slam_sensor_fusion_tpu.ops.nn_gated import build_visit_lists
-    from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
+    from slam_sensor_fusion_tpu.ops.nn_pallas import _build_tile_pair_list, make_pages
     from slam_sensor_fusion_tpu.ops import morton
 
     cfg = ICPConfig()
@@ -344,14 +344,14 @@ def test_lazy_fused_kernel_matches_parity_xla(rng):
         pts0, sm, t, tm, search_r2, cfg.tile_src, cfg.tile_tgt, cfg.max_visits
     )
     nSt = 512 // cfg.tile_src
-    p_src, p_tgt, n_pairs = _build_pair_list(
+    p_start, p_cnt, p_tgt = _build_tile_pair_list(
         visits, counts, nSt * cfg.max_pairs_factor
     )
     src_pages = make_pages(
         s, sm, jnp.zeros(3, jnp.float32), cfg.tile_src, sentinel=1.0e7
     )
     r_lazy = icp_align_fused_paged(
-        src_pages, p_src, p_tgt, n_pairs, T0, cached, cfg,
+        src_pages, p_start, p_cnt, p_tgt, T0, cached, cfg,
         interpret=True, lazy=True,
     )
 

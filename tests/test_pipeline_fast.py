@@ -27,7 +27,7 @@ from slam_sensor_fusion_tpu.ops.icp_fused import (
     icp_align_fused_paged,
 )
 from slam_sensor_fusion_tpu.ops.nn_gated import build_visit_lists
-from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
+from slam_sensor_fusion_tpu.ops.nn_pallas import _build_tile_pair_list, make_pages
 from slam_sensor_fusion_tpu.utils.config import ICPConfig, LocalizationConfig
 from tests.test_pipeline import TEST_CONFIG, ate_rmse, build_world_and_sequence
 
@@ -80,12 +80,12 @@ def test_paged_entry_matches_unpaged(rng):
         cfg.max_visits,
     )
     nSt = len(src) // cfg.tile_src
-    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, nSt * 8)
+    pair_start, pair_cnt, pair_tgt = _build_tile_pair_list(visits, counts, nSt * 8)
     src_pages = make_pages(
         s, smj, jnp.zeros(3, jnp.float32), cfg.tile_src, sentinel=1.0e7
     )
     got = icp_align_fused_paged(
-        src_pages, pair_src, pair_tgt, n_pairs, T0, cached, cfg, interpret=True
+        src_pages, pair_start, pair_cnt, pair_tgt, T0, cached, cfg, interpret=True
     )
 
     np.testing.assert_allclose(

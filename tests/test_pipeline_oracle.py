@@ -80,7 +80,11 @@ def _stage_coarse_clouds(map_cloud, scan_pts, scan_msk, pose, cfg):
         map_cloud, jnp.asarray(pose[:3, 3], jnp.float32), cfg.cloud_crop_radius
     )
     packed = cl.compact(mask, cfg.capacity.cropped_map)
-    sorted_map = morton.sort_by_morton(packed)
+    # mirrors the engine's recrop exactly: with a presorted map the
+    # order-preserving compact already yields Morton order
+    sorted_map = (
+        packed if cfg.presorted_map else morton.sort_by_morton(packed)
+    )
 
     bf_map = cl.sample_to_capacity(
         cl.remove_floor(
