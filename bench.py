@@ -231,6 +231,9 @@ def bench_lio() -> None:
     np.asarray(ws.ekf_state.p)
     log(f"compile+first chunk: {time.perf_counter() - t0:.1f}s")
 
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     s = state
     outs = []
@@ -239,6 +242,11 @@ def bench_lio() -> None:
         outs.append(o)
     np.asarray(s.ekf_state.p)
     elapsed = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+        from slam_sensor_fusion_tpu.utils.profiling import summarize_trace
+        for name, ms, n in summarize_trace(trace_dir, top=20):
+            log(f"  trace {ms:9.3f} ms  x{n:<5d} {name}")
     total = n_frames - 1
     est = np.concatenate([np.asarray(o.world_T_body) for o in outs])
     gt = poses[1:]

@@ -624,7 +624,7 @@ def run_lio_superblocks(
         pair_tiles_from_d2,
         subtile_pair_dist2,
     )
-    from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
+    from slam_sensor_fusion_tpu.ops.nn_pallas import _build_tile_pair_list, make_pages
 
     R = config.refresh_every
     T = scan_points.shape[0]
@@ -727,8 +727,8 @@ def run_lio_superblocks(
         visits, counts, v_ovf = jax.vmap(
             pair_tiles_from_d2, in_axes=(0, 0, 0, None)
         )(d2_tiles, cnt_b, radius2, config.p2p.max_visits)
-        pair_src, pair_tgt, n_pairs = jax.vmap(
-            lambda v, c: _build_pair_list(v, c, max_pairs)
+        pair_start, pair_cnt, pair_tgt = jax.vmap(
+            lambda v, c: _build_tile_pair_list(v, c, max_pairs)
         )(visits, counts)
         demand = jnp.sum(
             ((d2_tiles <= radius2[:, None, None]) & (cnt_b[:, :, None] > 0))
@@ -740,7 +740,7 @@ def run_lio_superblocks(
         # 5) the whole-block kernel
         e0 = st.ekf_state
         poses, stats, pose_n, v_n, bg_n, ba_n, P_n = lio_superblock(
-            pair_src, pair_tgt, n_pairs, vld, gy, ac, dt, gp, gv, gok,
+            pair_start, pair_cnt, pair_tgt, vld, gy, ac, dt, gp, gv, gok,
             pred_t, ekf.pose_matrix(e0), e0.v, e0.bg, e0.ba, e0.P,
             cache.center, src_pages, cache.pages, params,
             interpret=interpret,

@@ -206,9 +206,9 @@ def _make_lio_superblock_kernel(
 
     def kernel(
         # SMEM
-        pair_src_ref,  # (K, max_pairs) i32
-        pair_tgt_ref,  # (K, max_pairs) i32
-        n_pairs_ref,  # (K,) i32
+        pair_start_ref,  # (K, nSt) i32 per-src-tile offsets into pair_tgt
+        pair_cnt_ref,  # (K, nSt) i32 per-src-tile admitted-tile counts
+        pair_tgt_ref,  # (K, max_pairs) i32 flat row-major target tiles
         valid_ref,  # (K,) i32
         gyro_ref,  # (K, Ki*3) f32
         accel_ref,  # (K, Ki*3) f32
@@ -265,44 +265,57 @@ def _make_lio_superblock_kernel(
         c163 = jax.lax.broadcasted_iota(jnp.int32, (16, 3), 1)
         E3 = (r163 == c163).astype(jnp.float32)
 
-        # ---- GN association + moments (ops/p2p_fused.py structure) ----
-        def associate(k, R, t):
-            best_d2_ref[...] = jnp.full_like(best_d2_ref, _BIG)
-            best_qn_ref[...] = jnp.zeros_like(best_qn_ref)
+        # ---- GN association + moments (ops/p2p_fused.py structure):
+        # tile-major, register-carried best, direct (tx-sx)^2 VPU
+        # broadcast distances (see ops/icp_fused.py associate for the
+        # cost analysis vs the per-pair K=3 f32 matmul) ----
+        nSt_s = best_d2_ref.shape[0]
 
-            def pair_body(p, _):
-                i = pair_src_ref[k, p]
-                j = pair_tgt_ref[k, p]
-                s = R @ src_pages_ref[k, i] + t[:, None]  # (3, TM)
-                tq = tgt_pages_ref[j]  # (6, TN)
-                txyz = tq[:3]
-                cross = jax.lax.dot_general(
-                    txyz, s, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (TN, TM)
-                s_norm = jnp.sum(s * s, axis=0, keepdims=True)
-                t_norm = jax.lax.dot_general(
-                    txyz * txyz, ones3, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                d2 = t_norm - 2.0 * cross + s_norm
-                tile_min = jnp.min(d2, axis=0, keepdims=True)
-                arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_tgt, tile_src), 0
-                )
-                onehot = (rows == arg).astype(jnp.float32)
-                qn = jax.lax.dot_general(
-                    tq, onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (6, TM)
-                old = best_d2_ref[i]
-                better = tile_min < old
-                best_d2_ref[i] = jnp.where(better, tile_min, old)
-                best_qn_ref[i] = jnp.where(better, qn, best_qn_ref[i])
+        def associate(k, R, t):
+            def tile_body(i, _):
+                sp = src_pages_ref[k, i]  # (3, TM)
+                spx, spy, spz = sp[0:1], sp[1:2], sp[2:3]
+                sx = R[0, 0] * spx + R[0, 1] * spy + R[0, 2] * spz + t[0]
+                sy = R[1, 0] * spx + R[1, 1] * spy + R[1, 2] * spz + t[1]
+                sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
+                start = pair_start_ref[k, i]
+                cnt = pair_cnt_ref[k, i]
+
+                def inner(q, carry):
+                    bmin, bqn = carry
+                    j = pair_tgt_ref[k, start + q]
+                    tq = tgt_pages_ref[j]  # (6, TN)
+                    txc = tq[0].reshape(tile_tgt, 1)
+                    tyc = tq[1].reshape(tile_tgt, 1)
+                    tzc = tq[2].reshape(tile_tgt, 1)
+                    dx = txc - sx  # (TN, TM)
+                    dy = tyc - sy
+                    dz = tzc - sz
+                    d2 = dx * dx + dy * dy + dz * dz
+                    tile_min = jnp.min(d2, axis=0, keepdims=True)
+                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_tgt, tile_src), 0
+                    )
+                    onehot = (rows == arg).astype(jnp.float32)
+                    qn = jax.lax.dot_general(
+                        tq, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (6, TM): matched point + its normal
+                    better = tile_min < bmin
+                    return (
+                        jnp.where(better, tile_min, bmin),
+                        jnp.where(better, qn, bqn),
+                    )
+
+                big = jnp.full((1, tile_src), _BIG)
+                zero6 = jnp.zeros((6, tile_src), jnp.float32)
+                bmin, bqn = jax.lax.fori_loop(0, cnt, inner, (big, zero6))
+                best_d2_ref[i] = bmin
+                best_qn_ref[i] = bqn
                 return 0
 
-            jax.lax.fori_loop(0, n_pairs_ref[k], pair_body, 0)
+            jax.lax.fori_loop(0, nSt_s, tile_body, 0)
 
         def gn_moments(k, R, t, reassociate):
             if reassociate:
@@ -604,9 +617,9 @@ def _make_lio_superblock_kernel(
 
 
 def lio_superblock(
-    pair_src: Array,  # (K, max_pairs) i32
-    pair_tgt: Array,
-    n_pairs: Array,  # (K,)
+    pair_start: Array,  # (K, nSt) i32 per-src-tile offsets into pair_tgt
+    pair_cnt: Array,  # (K, nSt) i32 per-src-tile admitted-tile counts
+    pair_tgt: Array,  # (K, max_pairs) i32 flat row-major target tiles
     valid: Array,  # (K,) bool
     gyro: Array,  # (K, Ki, 3)
     accel: Array,  # (K, Ki, 3)
@@ -661,9 +674,9 @@ def lio_superblock(
         ],
         interpret=interpret,
     )(
-        pair_src,
+        pair_start,
+        pair_cnt,
         pair_tgt,
-        n_pairs,
         valid.astype(jnp.int32),
         gyro.reshape(K, Ki * 3),
         accel.reshape(K, Ki * 3),

@@ -49,7 +49,7 @@ from slam_sensor_fusion_tpu.ops.icp_fused import (
 )
 from slam_sensor_fusion_tpu.ops.morton import tile_bboxes
 from slam_sensor_fusion_tpu.ops.nn_gated import pair_tiles
-from slam_sensor_fusion_tpu.ops.nn_pallas import _build_pair_list, make_pages
+from slam_sensor_fusion_tpu.ops.nn_pallas import _build_tile_pair_list, make_pages
 from slam_sensor_fusion_tpu.ops.point_to_plane import (
     PointToPlaneConfig,
     PointToPlaneResult,
@@ -135,9 +135,9 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
     fixed_corr = config.fixed_correspondences
 
     def kernel(
-        pair_src_ref,  # (max_pairs,) SMEM
-        pair_tgt_ref,
-        n_pairs_ref,  # (1,) SMEM
+        pair_start_ref,  # (nSt,) SMEM: per-src-tile offset into pair_tgt
+        pair_cnt_ref,  # (nSt,) SMEM: per-src-tile admitted-tile count
+        pair_tgt_ref,  # (max_pairs,) SMEM: flat row-major target tiles
         T0_ref,  # (4, 4) VMEM — rebased initial transform
         src_pages_ref,  # (nSt, 3, TM) rebased, invalid -> +FAR
         tgt_pages_ref,  # (nTt, 6, TN): rows 0-2 xyz (-FAR invalid), 3-5 normal (0 invalid)
@@ -146,45 +146,58 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
         best_d2_ref,  # scratch (nSt, 1, TM)
         best_qn_ref,  # scratch (nSt, 6, TM)
     ):
-        ones3 = jnp.ones((3, 1), jnp.float32)
+        nSt_s = best_d2_ref.shape[0]
 
         def associate(R, t):
-            best_d2_ref[...] = jnp.full_like(best_d2_ref, _BIG)
-            best_qn_ref[...] = jnp.zeros_like(best_qn_ref)
+            """Tile-major association with register-carried best and
+            direct (tx-sx)^2 VPU broadcast distances — see
+            ops/icp_fused.py associate for the cost analysis vs the
+            per-pair K=3 f32 matmul formulation."""
 
-            def pair_body(p, _):
-                i = pair_src_ref[p]
-                j = pair_tgt_ref[p]
-                s = R @ src_pages_ref[i] + t[:, None]  # (3, TM)
-                tq = tgt_pages_ref[j]  # (6, TN)
-                txyz = tq[:3]
-                cross = jax.lax.dot_general(
-                    txyz, s, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (TN, TM)
-                s_norm = jnp.sum(s * s, axis=0, keepdims=True)
-                t_norm = jax.lax.dot_general(
-                    txyz * txyz, ones3, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                d2 = t_norm - 2.0 * cross + s_norm
-                tile_min = jnp.min(d2, axis=0, keepdims=True)
-                arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_tgt, tile_src), 0
-                )
-                onehot = (rows == arg).astype(jnp.float32)
-                qn = jax.lax.dot_general(
-                    tq, onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (6, TM): matched point + its normal
-                old = best_d2_ref[i]
-                better = tile_min < old
-                best_d2_ref[i] = jnp.where(better, tile_min, old)
-                best_qn_ref[i] = jnp.where(better, qn, best_qn_ref[i])
+            def tile_body(i, _):
+                sp = src_pages_ref[i]  # (3, TM)
+                spx, spy, spz = sp[0:1], sp[1:2], sp[2:3]
+                sx = R[0, 0] * spx + R[0, 1] * spy + R[0, 2] * spz + t[0]
+                sy = R[1, 0] * spx + R[1, 1] * spy + R[1, 2] * spz + t[1]
+                sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
+                start = pair_start_ref[i]
+                cnt = pair_cnt_ref[i]
+
+                def inner(q, carry):
+                    bmin, bqn = carry
+                    j = pair_tgt_ref[start + q]
+                    tq = tgt_pages_ref[j]  # (6, TN)
+                    txc = tq[0].reshape(tile_tgt, 1)
+                    tyc = tq[1].reshape(tile_tgt, 1)
+                    tzc = tq[2].reshape(tile_tgt, 1)
+                    dx = txc - sx  # (TN, TM)
+                    dy = tyc - sy
+                    dz = tzc - sz
+                    d2 = dx * dx + dy * dy + dz * dz
+                    tile_min = jnp.min(d2, axis=0, keepdims=True)
+                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_tgt, tile_src), 0
+                    )
+                    onehot = (rows == arg).astype(jnp.float32)
+                    qn = jax.lax.dot_general(
+                        tq, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (6, TM): matched point + its normal
+                    better = tile_min < bmin
+                    return (
+                        jnp.where(better, tile_min, bmin),
+                        jnp.where(better, qn, bqn),
+                    )
+
+                big = jnp.full((1, tile_src), _BIG)
+                zero6 = jnp.zeros((6, tile_src), jnp.float32)
+                bmin, bqn = jax.lax.fori_loop(0, cnt, inner, (big, zero6))
+                best_d2_ref[i] = bmin
+                best_qn_ref[i] = bqn
                 return 0
 
-            jax.lax.fori_loop(0, n_pairs_ref[0], pair_body, 0)
+            jax.lax.fori_loop(0, nSt_s, tile_body, 0)
 
         def gn_moments(R, t, reassociate=True):
             """Association (unless held fixed) + full JtJ/Jtr reduction;
@@ -370,7 +383,9 @@ def point_to_plane_align_fused(
         lo_s, hi_s, cnt_s, cached.lo, cached.hi, search_r2, config.max_visits
     )
     max_pairs = nSt * 16
-    pair_src, pair_tgt, n_pairs = _build_pair_list(visits, counts, max_pairs)
+    pair_start, pair_cnt, pair_tgt = _build_tile_pair_list(
+        visits, counts, max_pairs
+    )
     del v_overflow  # LIO surfaces overflow through rmse/count divergence
 
     src_pages = make_pages(source, source_mask, center * 0, TM, sentinel=1.0e7)
@@ -402,7 +417,7 @@ def point_to_plane_align_fused(
             pltpu.VMEM((nSt, 6, TM), jnp.float32),
         ],
         interpret=interpret,
-    )(pair_src, pair_tgt, n_pairs[None], unshift @ initial_T, src_pages, cached.pages)
+    )(pair_start, pair_cnt, pair_tgt, unshift @ initial_T, src_pages, cached.pages)
 
     # rebuild the (damped) JtJ of the final stats pass from the 21
     # packed lower-triangle lanes; the GN ran in the REBASED frame, so
