@@ -182,7 +182,8 @@ def _step_displacement_bound(T_step: Array, rho: Array) -> Array:
     return jnp.linalg.norm(T_step[:3, 3]) + 2.0 * half * rho
 
 
-def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, interpret):
+def _icp_pallas(source, source_mask, target, target_mask, initial_T, config,
+                interpret, axis_name=None):
     """Pages-native loop; no lax.cond in the steady-state body path.
 
     The tile-pair list is built with the gate radius dilated by
@@ -191,7 +192,17 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
     the list once it could exceed the margin — metre-scale alignments
     (the rescue ICP ladder, localization_node.cpp:222-241, gate sqrt(5),
     80 iterations) stay exact instead of silently missing neighbours.
-    Fine ICP (cm steps) never triggers the rebuild."""
+    Fine ICP (cm steps) never triggers the rebuild.
+
+    `axis_name` (map-sharded mode, parallel/map_shard.py): when set, this
+    function runs inside `shard_map` with `target`/`target_mask` being the
+    LOCAL map shard and everything else replicated. Each device associates
+    against its shard with the production kernel; winners are min-combined
+    over the mesh axis (tiny (nSt, 4, TM) all_gather riding ICI), so the
+    loop state stays replicated and the Kabsch/error math is unchanged.
+    Per-point d2 values are bit-identical to the single-device sweep —
+    each distance depends only on its point pair — so the combined result
+    equals running against the full map (up to distance ties)."""
     center = initial_T[:3, 3]
     TM, TN = config.tile_src, config.tile_tgt
     nSt = source.shape[0] // TM
@@ -239,6 +250,18 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
         d2, _, xyz_pages = pair_nn(
             pts_pages, tgt_pages, p_src, p_tgt, n_p, interpret
         )
+        if axis_name is not None:
+            # min-combine the per-shard winners over the map axis: gather
+            # (d2, xyz) — (n_shards, nSt, 4, TM) floats total, a few
+            # hundred KB — and take the closest shard's match per point
+            d2_all = jax.lax.all_gather(d2, axis_name)  # (n, nSt, 1, TM)
+            xyz_all = jax.lax.all_gather(xyz_pages, axis_name)
+            win = jnp.argmin(d2_all, axis=0)  # (nSt, 1, TM)
+            d2 = jnp.take_along_axis(d2_all, win[None], axis=0)[0]
+            xyz_pages = jnp.take_along_axis(
+                xyz_all, jnp.broadcast_to(win[None], (1,) + xyz_all.shape[1:]),
+                axis=0,
+            )[0]
         d2 = d2[:, 0, :]  # (nSt, TM)
         new_alive = alive_w * (d2 < gate).astype(jnp.float32)
         return d2, xyz_pages, new_alive
@@ -331,9 +354,14 @@ def _icp_pallas(source, source_mask, target, target_mask, initial_T, config, int
     )
     final = jax.lax.while_loop(cond, body, init)
     final_T = shift @ final.T
+    final_overflow = final.pair_overflow
+    if axis_name is not None:
+        # per-shard pair lists can overflow independently; any shard's
+        # truncation makes the combined correspondence set suspect
+        final_overflow = jnp.any(jax.lax.all_gather(final_overflow, axis_name))
     return _result(
         enough, final_T, final.last_error, final.i, n_corr0, initial_T, config,
-        pair_overflow=final.pair_overflow,
+        pair_overflow=final_overflow,
         error_trace=final.err_trace,
     )
 

@@ -140,6 +140,65 @@ def test_fleet_fast_pipeline_matches_single():
         )
 
 
+def test_sp_icp_matches_single_device(rng):
+    """Map-sharded ICP (parallel/map_shard.sp_icp_align, map split over an
+    8-device `sp` mesh, interpret-mode pallas) == single-device icp_align
+    against the full map — the production loop with the per-shard winners
+    min-combined over ICI."""
+    import dataclasses
+
+    from scipy.spatial.transform import Rotation as ScipyR
+
+    from slam_sensor_fusion_tpu.ops.icp import icp_align
+    from slam_sensor_fusion_tpu.ops.morton import sort_points_numpy
+    from slam_sensor_fusion_tpu.parallel.map_shard import (
+        shard_cloud,
+        sp_icp_align,
+    )
+    from slam_sensor_fusion_tpu.utils.config import ICPConfig
+    from test_icp import make_scene, padded, small_T
+
+    tgt = sort_points_numpy(make_scene(rng, n=3000))
+    T_true = small_T(rng, rot=0.02, trans=0.1)
+    Rinv = T_true[:3, :3].T
+    src_full = (tgt - T_true[:3, 3]) @ Rinv.T
+    src = src_full[rng.choice(len(tgt), 400, replace=False)] + rng.normal(
+        0, 0.01, (400, 3)
+    ).astype(np.float32)
+
+    cfg = dataclasses.replace(
+        ICPConfig(), nn_backend="pallas", pallas_interpret=True,
+        tile_src=128, tile_tgt=128,
+        # small tiles on a compact scene admit nearly every (src, tgt)
+        # tile pair; give the single-device list headroom for all of them
+        max_pairs_factor=32,
+    )
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 3072)
+    single = icp_align(s, sm, t, tm, jnp.eye(4), cfg)
+
+    n_shards = 8
+    shards, shard_mask = shard_cloud(tgt, n_shards, cfg.tile_tgt)
+    mesh = make_mesh(n_shards, axis="sp")
+    sharded = sp_icp_align(
+        s, sm, jnp.asarray(shards), jnp.asarray(shard_mask),
+        jnp.eye(4), cfg, mesh, interpret=True,
+    )
+
+    assert bool(single.has_converged) == bool(sharded.has_converged)
+    assert int(single.n_correspondences) == int(sharded.n_correspondences)
+    assert int(single.iterations) == int(sharded.iterations)
+    assert not bool(sharded.pair_overflow)
+    np.testing.assert_allclose(
+        np.asarray(sharded.transformation),
+        np.asarray(single.transformation),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(sharded.error), float(single.error), atol=1e-5
+    )
+
+
 def test_fleet_lio_superblocks_matches_single(rng):
     """shard_map dp fleet over the PRODUCTION whole-block LIO kernel
     (parallel/lio_fleet.fleet_run_lio_superblocks, interpret-mode
