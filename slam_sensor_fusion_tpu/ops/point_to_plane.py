@@ -55,6 +55,10 @@ class PointToPlaneConfig(NamedTuple):
     tile_src: int = 256
     tile_tgt: int = 512
     max_visits: int = 24
+    #: pair-list capacity = max_pairs_factor * n_source_tiles (fused
+    #: kernels); compact scenes where most tile pairs are admissible need
+    #: headroom past the default or the list truncates (nearest-first)
+    max_pairs_factor: int = 16
     reassoc_margin: float = 0.5
     nn_backend: str = "pallas"
     pallas_interpret: bool = False

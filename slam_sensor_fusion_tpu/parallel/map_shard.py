@@ -21,6 +21,7 @@ TPU-native extension for maps past one chip's memory, not a parity item.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,16 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from slam_sensor_fusion_tpu.ops.icp import ICPResult, _icp_pallas
+from slam_sensor_fusion_tpu.ops.p2p_fused import (
+    CachedP2PTarget,
+    associate_p2p_fused,
+    build_cached_p2p_target,
+    p2p_gn_from_correspondences,
+)
+from slam_sensor_fusion_tpu.ops.point_to_plane import (
+    PointToPlaneConfig,
+    PointToPlaneResult,
+)
 from slam_sensor_fusion_tpu.utils.config import ICPConfig
 
 Array = jax.Array
@@ -96,3 +107,115 @@ def sp_icp_align(
         out_specs=P(),  # prefix spec: every output leaf is replicated
         check_vma=False,
     )(source, source_mask, target_shards, target_shard_mask, initial_T)
+
+
+class ShardedP2PTarget(NamedTuple):
+    """Per-shard point-to-plane target pages (xyz + normals) ready for a
+    leading-axis `sp` sharding: each device's slice is a complete
+    `CachedP2PTarget` over its Morton-contiguous map chunk, all rebased
+    by the SAME `center` so winners combine in a common frame."""
+
+    pages: Array  # (n_shards * nTt_cap, 6, TN)
+    lo: Array  # (n_shards * nTt_cap, 3) tile bbox minima (original frame)
+    hi: Array
+    center: Array  # (3,)
+    n_shards: int
+
+
+def shard_p2p_target(
+    points: np.ndarray,  # (N, 3) Morton-sorted valid points
+    normals: np.ndarray,  # (N, 3)
+    normals_valid: np.ndarray,  # (N,) bool
+    n_shards: int,
+    tile_tgt: int,
+    center: np.ndarray | None = None,
+) -> ShardedP2PTarget:
+    """Split a Morton-sorted cloud + normals into `n_shards` contiguous
+    padded chunks and pack each as 6-row p2p pages (shard_cloud's layout
+    with the normal rows of build_cached_p2p_target)."""
+    if center is None:
+        center = np.zeros(3, np.float32)
+    n = len(points)
+    per = -(-n // n_shards)  # ceil
+    cap = -(-per // tile_tgt) * tile_tgt
+    pages, lo, hi = [], [], []
+    for s in range(n_shards):
+        sl = slice(s * per, (s + 1) * per)
+        pts = np.zeros((cap, 3), np.float32)
+        nrm = np.zeros((cap, 3), np.float32)
+        msk = np.zeros(cap, bool)
+        nv = np.zeros(cap, bool)
+        chunk = points[sl]
+        pts[: len(chunk)] = chunk
+        nrm[: len(chunk)] = normals[sl]
+        msk[: len(chunk)] = True
+        nv[: len(chunk)] = normals_valid[sl]
+        cached = build_cached_p2p_target(
+            jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(nrm),
+            jnp.asarray(nv), jnp.asarray(center, jnp.float32), tile_tgt,
+        )
+        pages.append(cached.pages)
+        lo.append(cached.lo)
+        hi.append(cached.hi)
+    return ShardedP2PTarget(
+        pages=jnp.concatenate(pages),
+        lo=jnp.concatenate(lo),
+        hi=jnp.concatenate(hi),
+        center=jnp.asarray(center, jnp.float32),
+        n_shards=n_shards,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "interpret")
+)
+def sp_p2p_align(
+    source: Array,  # (M, 3) padded scan, replicated
+    source_mask: Array,  # (M,)
+    target: ShardedP2PTarget,
+    initial_T: Array,  # (4, 4)
+    config: PointToPlaneConfig,
+    mesh: Mesh,
+    interpret: bool = False,
+) -> PointToPlaneResult:
+    """Point-to-plane registration with the map sharded over `sp`.
+
+    Two production kernels per device: (1) the association-only pass
+    (ops/p2p_fused._make_assoc_kernel) against the LOCAL map shard, then
+    an ICI min-combine of the (d2, point+normal) winner pages — one
+    (n_shards, nSt, 7, TM)-float all_gather, a few hundred KB — and
+    (2) the fixed-correspondence GN kernel on the replicated combined
+    matched set. Equals `point_to_plane_align_fused` with
+    `fixed_correspondences=True` against the full map (up to distance
+    ties): association winners depend only on per-point distances, and
+    the GN consumes only the winner set.
+    """
+    axis = mesh.axis_names[0]
+
+    def body(src, smask, pages, lo, hi, center, T0):
+        local = CachedP2PTarget(pages=pages, lo=lo, hi=hi, center=center)
+        d2, qn = associate_p2p_fused(
+            src, smask, local, T0, config, interpret=interpret
+        )
+        d2_all = jax.lax.all_gather(d2, axis)  # (n, nSt, 1, TM)
+        qn_all = jax.lax.all_gather(qn, axis)  # (n, nSt, 6, TM)
+        win = jnp.argmin(d2_all, axis=0)  # (nSt, 1, TM)
+        d2c = jnp.take_along_axis(d2_all, win[None], axis=0)[0]
+        qnc = jnp.take_along_axis(
+            qn_all, jnp.broadcast_to(win[None], (1,) + qn_all.shape[1:]),
+            axis=0,
+        )[0]
+        return p2p_gn_from_correspondences(
+            src, smask, d2c, qnc, T0, center, config, interpret=interpret
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        source, source_mask, target.pages, target.lo, target.hi,
+        target.center, initial_T,
+    )

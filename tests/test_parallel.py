@@ -199,6 +199,82 @@ def test_sp_icp_matches_single_device(rng):
     )
 
 
+def test_sp_p2p_matches_single_device(rng):
+    """Map-sharded point-to-plane (parallel/map_shard.sp_p2p_align: per-
+    device association-only kernel + ICI min-combine + fixed-corr GN
+    kernel) == single-device point_to_plane_align_fused with
+    fixed_correspondences=True against the full map."""
+    from slam_sensor_fusion_tpu.ops.morton import sort_points_numpy
+    from slam_sensor_fusion_tpu.ops.p2p_fused import (
+        build_cached_p2p_target,
+        point_to_plane_align_fused,
+    )
+    from slam_sensor_fusion_tpu.ops.point_to_plane import (
+        PointToPlaneConfig,
+        estimate_normals,
+    )
+    from slam_sensor_fusion_tpu.parallel.map_shard import (
+        shard_p2p_target,
+        sp_p2p_align,
+    )
+    from test_icp import make_scene, padded, small_T
+
+    tgt = sort_points_numpy(make_scene(rng, n=3000))
+    T_true = small_T(rng, rot=0.02, trans=0.1)
+    src_full = (tgt - T_true[:3, 3]) @ T_true[:3, :3]
+    # Morton-sort the scan too: compact source tiles keep the bbox cull
+    # selective, so neither path's pair list truncates (winner equality
+    # requires both sides to see every admissible tile)
+    src = sort_points_numpy(
+        src_full[rng.choice(len(tgt), 400, replace=False)]
+    )
+    s, sm = padded(src, 512)
+    t, tm = padded(tgt, 3072)
+    normals, nvalid = estimate_normals(t, tm, voxel=1.5)
+
+    cfg = PointToPlaneConfig(
+        tile_src=128, tile_tgt=128, fixed_correspondences=True,
+        # small tiles on a compact scene admit nearly every (src, tgt)
+        # tile pair; give the single-device list headroom for all of them
+        max_pairs_factor=32,
+    )
+    cached = build_cached_p2p_target(
+        t, tm, normals, nvalid, jnp.zeros(3, jnp.float32), cfg.tile_tgt
+    )
+    single = point_to_plane_align_fused(s, sm, cached, jnp.eye(4), cfg,
+                                        interpret=True)
+
+    n_shards = 8
+    sharded_tgt = shard_p2p_target(
+        tgt,
+        np.asarray(normals)[: len(tgt)],
+        np.asarray(nvalid)[: len(tgt)],
+        n_shards,
+        cfg.tile_tgt,
+    )
+    mesh = make_mesh(n_shards, axis="sp")
+    sharded = sp_p2p_align(s, sm, sharded_tgt, jnp.eye(4), cfg, mesh,
+                           interpret=True)
+
+    assert int(single.n_correspondences) == int(sharded.n_correspondences)
+    np.testing.assert_allclose(
+        np.asarray(sharded.transformation),
+        np.asarray(single.transformation),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(sharded.rmse), float(single.rmse), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.cov_pose), np.asarray(single.cov_pose),
+        rtol=1e-3, atol=1e-8,
+    )
+    # and the combined alignment recovers the ground truth
+    np.testing.assert_allclose(
+        np.asarray(sharded.transformation), T_true, atol=2e-2
+    )
+
+
 def test_fleet_lio_superblocks_matches_single(rng):
     """shard_map dp fleet over the PRODUCTION whole-block LIO kernel
     (parallel/lio_fleet.fleet_run_lio_superblocks, interpret-mode
