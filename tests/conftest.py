@@ -19,8 +19,28 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Drop jit caches (and their XLA:CPU JIT code regions) after each
+    test module.
+
+    A full-suite run accumulates hundreds of compiled executables in one
+    process; past ~135 tests the XLA CPU compiler segfaults inside
+    backend_compile_and_load (observed on jax 0.9.0 with the 8-device
+    host platform; every module passes in a fresh process). Cross-module
+    cache hits are rare — modules compile their own shapes/configs — so
+    releasing between modules costs little and keeps the process within
+    the compiler's budget.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture
