@@ -244,15 +244,44 @@ class StreamingMapper:
     (map_data_save_node.cpp): accumulate registered scans, cut a tile every
     ``cloud_save_rate`` frames, log odometry positions and GPS/compass rows.
     Storage is pluggable (in-memory by default; io.save_map_data persists).
+
+    Fast path (``device_origin`` given): each frame ALSO streams into the
+    device-resident incremental voxel store (ops/voxel_map), so
+    ``finalize(use_device=True)`` skips the host concat+regrid entirely —
+    the global map was maintained cell-exactly on device the whole run
+    (BASELINE config 5's voxel downsampling in the device loop). The host
+    tile/log artifacts keep being written either way: they are the
+    checkpoint format (SURVEY §5).
     """
 
-    def __init__(self, config: MappingConfig = MappingConfig()):
+    def __init__(
+        self,
+        config: MappingConfig = MappingConfig(),
+        device_origin: np.ndarray | None = None,
+        device_config=None,
+        device_scan_capacity: int = 65536,
+    ):
         self.config = config
         self._accum: list[np.ndarray] = []
         self._counter = 0
         self.tiles: list[np.ndarray] = []
         self.odom_positions: list[np.ndarray] = []
         self.gps_rows: list[np.ndarray] = []
+        self._vm_state = None
+        self._vm_config = None
+        if device_origin is not None:
+            from slam_sensor_fusion_tpu.ops.voxel_map import (
+                VoxelMapConfig,
+                voxel_map_init,
+            )
+
+            self._vm_config = device_config or VoxelMapConfig(
+                voxel_size=config.map_voxel_size
+            )
+            self._vm_state = voxel_map_init(
+                self._vm_config, np.asarray(device_origin, np.float32)
+            )
+            self._vm_scan_cap = device_scan_capacity
 
     def add_frame(
         self,
@@ -263,23 +292,63 @@ class StreamingMapper:
         alt: float,
         compass_yaw: float,
     ) -> None:
-        self._accum.append(np.asarray(scan_map_frame, np.float32).reshape(-1, 3))
+        pts = np.asarray(scan_map_frame, np.float32).reshape(-1, 3)
+        self._accum.append(pts)
         self._counter += 1
         if self._counter % self.config.cloud_save_rate == 0:
             self.tiles.append(np.concatenate(self._accum))
             self._accum = []
         self.odom_positions.append(np.asarray(odom_position, np.float64))
         self.gps_rows.append(np.array([lat, lon, alt, compass_yaw], np.float64))
+        if self._vm_state is not None:
+            from slam_sensor_fusion_tpu.ops.voxel_map import voxel_map_insert
 
-    def finalize(self) -> MapData:
+            cap = self._vm_scan_cap
+            buf = np.zeros((cap, 3), np.float32)
+            n = min(len(pts), cap)
+            buf[:n] = pts[:n]
+            msk = np.zeros(cap, bool)
+            msk[:n] = True
+            if len(pts) > cap:
+                raise ValueError(
+                    f"scan of {len(pts)} points exceeds device_scan_capacity"
+                    f"={cap}; size the mapper to the sensor"
+                )
+            self._vm_state = voxel_map_insert(
+                self._vm_state, buf, msk, self._vm_config
+            )
+
+    def finalize(self, use_device: bool = False) -> MapData:
         """Flush the residual tile (onShutdown, map_data_save_node.cpp:101-113)
-        and build the MapData."""
+        and build the MapData. ``use_device=True`` takes the map cloud from
+        the incremental device store (cell-identical to the host merge
+        anchored at the same origin) instead of re-gridding on host."""
         if self._accum:
             self.tiles.append(np.concatenate(self._accum))
             self._accum = []
-        return build_map_data(
-            self.tiles,
+        data = build_map_data(
+            self.tiles if not use_device else [],
             np.stack(self.odom_positions) if self.odom_positions else np.zeros((0, 3)),
             np.stack(self.gps_rows) if self.gps_rows else np.zeros((0, 4)),
             self.config,
         )
+        if use_device:
+            if self._vm_state is None:
+                raise ValueError(
+                    "finalize(use_device=True) needs device_origin at init"
+                )
+            from slam_sensor_fusion_tpu.ops.voxel_map import (
+                voxel_map_centroids_numpy,
+            )
+
+            if int(self._vm_state.n_dropped) or int(self._vm_state.n_oob):
+                raise ValueError(
+                    "device voxel map overflowed: "
+                    f"dropped={int(self._vm_state.n_dropped)} "
+                    f"oob={int(self._vm_state.n_oob)}; grow table_size/"
+                    "extents or re-anchor the origin"
+                )
+            data = dataclasses.replace(
+                data, map_points=voxel_map_centroids_numpy(self._vm_state)
+            )
+        return data

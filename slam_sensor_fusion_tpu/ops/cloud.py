@@ -250,17 +250,22 @@ def voxel_downsample(
     return Cloud(centroids, mask)
 
 
-def voxel_downsample_numpy(points: np.ndarray, voxel_size: float) -> np.ndarray:
+def voxel_downsample_numpy(
+    points: np.ndarray, voxel_size: float, origin: np.ndarray | None = None
+) -> np.ndarray:
     """Host (init-time) voxel centroid downsample on arbitrary extents.
 
     Used when merging map tiles at load time, mirroring
     GlobalMapFramesManager::mergeScansAndSave
     (global_map_frames_manager.cpp:110-151). int64 ids, unbounded grid.
+    ``origin`` pins the grid anchor (defaults to the data min corner) —
+    pass the same anchor the incremental device store uses
+    (ops/voxel_map) to get cell-identical results.
     """
     points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     if points.shape[0] == 0:
         return points.astype(np.float32)
-    origin = points.min(axis=0)
+    origin = points.min(axis=0) if origin is None else np.asarray(origin)
     ijk = np.floor((points - origin) / voxel_size).astype(np.int64)
     dims = ijk.max(axis=0) + 1
     lin = (ijk[:, 0] * dims[1] + ijk[:, 1]) * dims[2] + ijk[:, 2]

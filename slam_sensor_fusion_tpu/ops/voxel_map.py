@@ -1,0 +1,221 @@
+"""Incremental on-device global voxel map (hash-scatter accumulator).
+
+TPU-native equivalent of the mapping product's global-map accumulation:
+the reference accumulates registered scans on the host and voxel-grids
+them once at merge time (map_data_save_node.cpp:60-99 accumulate loop,
+global_map_frames_manager.cpp:143-146 pcl::VoxelGrid). Here the map is a
+DEVICE-RESIDENT open-addressing hash table over voxel cells that absorbs
+one scan per step under `lax.scan` — BASELINE config 5's "voxel
+downsampling" literally in the device inner loop — and yields, at any
+point, exactly the centroid-per-voxel cloud the host merge would:
+running (sum, count) per cell is an exact incremental centroid.
+
+Why a hash table and not the sort+segment form (ops/cloud.voxel_downsample)?
+The sort form is right for one-shot downsampling, but an incremental
+update would re-sort the WHOLE store every frame (O((V+S) log(V+S)) on
+V ~ 10^6 cells). The scatter form touches only the S inserted points:
+per probe round one gather + two scatters at S indices — no sort, no
+host round-trip, O(S) per frame.
+
+Collision policy (deterministic, masked, observability-first):
+
+* a cell's packed id claims a slot via `scatter-min` against an EMPTY
+  sentinel (int32 max). Occupied slots can never be displaced: losers
+  contribute min-candidates of EMPTY, a no-op. Contenders that lose a
+  claim re-probe (double hashing) up to `max_probes` times;
+* points still unplaced after the probe budget are counted in
+  `n_dropped`, points outside the grid extents in `n_oob` — both must
+  stay 0 in healthy runs (the same silent-truncation-is-forbidden rule
+  as the pair-list overflow flags).
+
+Grid ids pack (x, y, z) cells into one int32, so the extents must satisfy
+dim_xy^2 * dim_z <= 2^31 (defaults 2048 x 2048 x 256 cells = a
+205 x 205 x 26 m survey at 0.1 m voxels; size to the site, or shard the
+map — parallel/map_shard — past one table's reach).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_sensor_fusion_tpu.ops.cloud import Cloud
+
+Array = jax.Array
+
+_EMPTY = np.int32(np.iinfo(np.int32).max)
+# Knuth multiplicative hash constant (2^32 / phi), uint32 wrap-around
+_HASH_MULT = np.uint32(2654435761)
+
+
+class VoxelMapConfig(NamedTuple):
+    """Static geometry/capacity of the device voxel store."""
+
+    voxel_size: float = 0.1
+    #: hash-table slots; keep occupancy (live cells / slots) under ~0.5
+    #: or probe failures (n_dropped) start firing
+    table_size: int = 1 << 21
+    max_probes: int = 8
+    #: grid extents in CELLS; dim_xy^2 * dim_z must fit int31
+    dim_xy: int = 2048
+    dim_z: int = 256
+
+    def validate(self) -> "VoxelMapConfig":
+        if self.dim_xy * self.dim_xy * self.dim_z > 2**31:
+            raise ValueError(
+                "voxel grid id space exceeds int32: "
+                f"{self.dim_xy}^2 * {self.dim_z} > 2^31"
+            )
+        return self
+
+
+class VoxelMapState(NamedTuple):
+    """The scan-carry: one open-addressing table of voxel cells."""
+
+    keys: Array  # (H,) int32 packed cell id, _EMPTY where free
+    sums: Array  # (H, 3) f32 running point sums
+    counts: Array  # (H,) f32 running point counts
+    origin: Array  # (3,) f32 grid anchor (min corner)
+    n_dropped: Array  # () i32 probe-budget failures (must stay 0)
+    n_oob: Array  # () i32 out-of-extent points (must stay 0)
+
+    def n_cells(self) -> Array:
+        return jnp.sum((self.keys != _EMPTY).astype(jnp.int32))
+
+
+def voxel_map_init(config: VoxelMapConfig, origin: Array) -> VoxelMapState:
+    """Empty store anchored at `origin` (the grid's min corner).
+
+    The anchor is FIXED for the map's lifetime — the incremental centroid
+    is only exact when every insert bins against the same grid, so pick
+    the survey site's min corner (with margin) up front. The host merge
+    (ops/cloud.voxel_downsample_numpy) anchors at the global min the same
+    way, which is what the equality tests rely on.
+    """
+    config.validate()
+    H = config.table_size
+    return VoxelMapState(
+        keys=jnp.full((H,), _EMPTY, jnp.int32),
+        sums=jnp.zeros((H, 3), jnp.float32),
+        counts=jnp.zeros((H,), jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        n_dropped=jnp.int32(0),
+        n_oob=jnp.int32(0),
+    )
+
+
+def _pack_ids(
+    points: Array, mask: Array, origin: Array, config: VoxelMapConfig
+) -> tuple[Array, Array, Array]:
+    """(packed ids, in-bounds mask, oob count) for one scan."""
+    ijk = jnp.floor((points - origin[None, :]) / config.voxel_size).astype(
+        jnp.int32
+    )
+    dims = jnp.asarray(
+        [config.dim_xy, config.dim_xy, config.dim_z], jnp.int32
+    )
+    inb = jnp.all((ijk >= 0) & (ijk < dims[None, :]), axis=-1)
+    n_oob = jnp.sum((mask & ~inb).astype(jnp.int32))
+    ok = mask & inb
+    ijk = jnp.clip(ijk, 0, dims[None, :] - 1)  # keep packed ids in range
+    key = (ijk[:, 0] * config.dim_xy + ijk[:, 1]) * config.dim_z + ijk[:, 2]
+    return key, ok, n_oob
+
+
+def _probe_slot(key: Array, probe: int, table_size: int) -> Array:
+    """Double-hashed slot index for probe round `probe` (uint32 wrap)."""
+    k = key.astype(jnp.uint32)
+    h1 = (k * _HASH_MULT) >> jnp.uint32(8)
+    h2 = (k ^ (k >> jnp.uint32(13))) | jnp.uint32(1)  # odd stride
+    return ((h1 + jnp.uint32(probe) * h2) % jnp.uint32(table_size)).astype(
+        jnp.int32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def voxel_map_insert(
+    state: VoxelMapState,
+    points: Array,  # (S, 3) f32 MAP/world-frame points
+    mask: Array,  # (S,) bool
+    config: VoxelMapConfig,
+) -> VoxelMapState:
+    """Absorb one scan: each point joins its voxel cell's running mean.
+
+    Pure carry-update (scan-compatible). Unplaceable points are COUNTED,
+    never silently dropped into a wrong cell.
+    """
+    key, active, n_oob = _pack_ids(points, mask, state.origin, config)
+    keys, sums, counts = state.keys, state.sums, state.counts
+
+    for probe in range(config.max_probes):
+        slot = _probe_slot(key, probe, config.table_size)
+        cur = keys[slot]
+        contend = active & (cur == _EMPTY)
+        # claim free slots: occupied slots only ever receive EMPTY
+        # candidates (a no-op under min), so history is never displaced
+        keys = keys.at[slot].min(jnp.where(contend, key, _EMPTY))
+        own = active & (keys[slot] == key)
+        sums = sums.at[slot].add(jnp.where(own[:, None], points, 0.0))
+        counts = counts.at[slot].add(own.astype(jnp.float32))
+        active = active & ~own
+
+    return VoxelMapState(
+        keys=keys,
+        sums=sums,
+        counts=counts,
+        origin=state.origin,
+        n_dropped=state.n_dropped + jnp.sum(active.astype(jnp.int32)),
+        n_oob=state.n_oob + n_oob,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def voxel_map_insert_chunk(
+    state: VoxelMapState,
+    points: Array,  # (T, S, 3)
+    mask: Array,  # (T, S)
+    config: VoxelMapConfig,
+) -> VoxelMapState:
+    """lax.scan of voxel_map_insert over a chunk of frames — the mapping
+    product's device-resident accumulate loop."""
+
+    def body(carry, frame):
+        p, m = frame
+        return voxel_map_insert(carry, p, m, config), None
+
+    out, _ = jax.lax.scan(body, state, (points, mask))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("config", "out_capacity"))
+def voxel_map_centroids(
+    state: VoxelMapState, config: VoxelMapConfig, out_capacity: int
+) -> Cloud:
+    """The map cloud: one centroid per occupied cell, packed id order.
+
+    Ordering by packed id makes the output deterministic (independent of
+    hash layout and insert order) — the same cloud the host merge
+    produces, sorted. O(H log H) once at extraction, not per frame.
+    """
+    occ = state.keys != _EMPTY
+    sort_key = jnp.where(occ, state.keys, _EMPTY)
+    order = jnp.argsort(sort_key)[:out_capacity]
+    cent = state.sums[order] / jnp.maximum(state.counts[order], 1.0)[:, None]
+    n = jnp.minimum(jnp.sum(occ.astype(jnp.int32)), out_capacity)
+    msk = jnp.arange(out_capacity) < n
+    return Cloud(jnp.where(msk[:, None], cent, 0.0), msk)
+
+
+def voxel_map_centroids_numpy(state: VoxelMapState) -> np.ndarray:
+    """Host extraction of all centroids (packed id order), for finalize()
+    paths and tests."""
+    keys = np.asarray(state.keys)
+    occ = keys != _EMPTY
+    order = np.argsort(keys[occ], kind="stable")
+    sums = np.asarray(state.sums)[occ][order]
+    counts = np.asarray(state.counts)[occ][order]
+    return (sums / counts[:, None]).astype(np.float32)

@@ -174,6 +174,7 @@ def render_scan_skewed(
     max_range: float = 35.0,
     max_points: int = 20000,
     noise: float = 0.01,
+    tau_mode: str = "random",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Scan with intra-sweep motion: each point is measured from the pose
     at its own sweep fraction tau (constant-twist interpolation
@@ -182,6 +183,12 @@ def render_scan_skewed(
     (points (N, 3) in the per-point measurement frames, tau (N,)).
     `ops/deskew.deskew` with xi = se3_log(prev_T^-1 curr_T) maps them to
     the end-of-sweep (curr) frame; BASELINE config 5's "deskewed scans".
+
+    ``tau_mode="azimuth"`` assigns each point the sweep fraction a
+    clockwise-spinning LiDAR would give it (the KITTI velodyne model:
+    sweep starts/ends at the rear, utils/kitti.azimuth_taus) instead of a
+    random fraction — so loaders that must SYNTHESIZE per-point times
+    from geometry (KITTI ships none) recover nearly the true fractions.
     """
     from scipy.spatial.transform import Rotation as ScipyR
 
@@ -196,7 +203,14 @@ def render_scan_skewed(
         w /= w.sum()
         sel = rng.choice(sel, size=max_points, replace=False, p=w)
         sel.sort()
-    tau = rng.uniform(0.0, 1.0, len(sel))
+    if tau_mode == "azimuth":
+        # end-of-sweep body azimuth ~ measured azimuth (intra-sweep motion
+        # shifts it by < 0.01 rad at survey speeds): tau = (pi - theta)/2pi
+        rel_end = (world[sel] - curr_T[:3, 3]) @ curr_T[:3, :3]
+        theta = np.arctan2(rel_end[:, 1], rel_end[:, 0])
+        tau = 0.5 * (1.0 - theta / np.pi)
+    else:
+        tau = rng.uniform(0.0, 1.0, len(sel))
 
     R_tau = ScipyR.from_rotvec(tau[:, None] * phi).as_matrix()  # (N, 3, 3)
     t_tau = np.einsum("nij,nj->ni", _so3_V(tau[:, None] * phi), tau[:, None] * rho)

@@ -80,3 +80,125 @@ def test_read_calib_tr_missing_raises(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_write_fixture_roundtrips_through_loader(tmp_path):
+    """kitti.write_fixture emits the exact layout load_sequence parses."""
+    rng = np.random.default_rng(1)
+    scans = [rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+             for n in (120, 90, 150)]
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    for k in range(3):
+        poses[k, :3, :3] = _rot_z(0.05 * k)
+        poses[k, :3, 3] = [0.5 * k, 0.1 * k, 0.0]
+    kitti.write_fixture(str(tmp_path), scans, poses)
+    seq = kitti.load_sequence(str(tmp_path), "00")
+    for got, want in zip(seq.scans, scans):
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(seq.poses, poses, atol=1e-6)
+
+
+def test_azimuth_taus_recover_sweep_fractions(tmp_path):
+    """The geometric per-point time model (tau from azimuth — KITTI ships
+    no stamps) must recover the TRUE sweep fractions of a skewed render to
+    within the intra-sweep parallax error."""
+    from slam_sensor_fusion_tpu.utils import synthetic as syn
+
+    rng = np.random.default_rng(0)
+    world = syn.make_world(rng, extent=50.0, n_buildings=12, n_poles=30,
+                           points_per_m2=12.0)
+    poses = syn.make_trajectory(4, speed_per_frame=0.15)
+    pts, true_tau = syn.render_scan_skewed(
+        world, poses[2], poses[3], rng, max_points=3000, max_range=25.0,
+        tau_mode="azimuth",
+    )
+    got = kitti.azimuth_taus(pts)
+    # exclude the sweep cut (rear seam): measured-frame azimuth can wrap
+    # across it, flipping tau 0 <-> 1
+    interior = (true_tau > 0.02) & (true_tau < 0.98)
+    err = np.abs(got[interior] - true_tau[interior])
+    assert np.quantile(err, 0.99) < 0.02, np.quantile(err, 0.99)
+
+
+def test_suggest_scan_capacity():
+    scans = [np.zeros((n, 3), np.float32) for n in (850, 1200, 990)]
+    cap = kitti.suggest_scan_capacity(scans)
+    assert cap >= 1200 * 1.25 and cap == 1 << int(np.log2(cap))
+    assert kitti.suggest_scan_capacity(scans, subsample=2) >= 750
+    assert kitti.suggest_scan_capacity([]) == 1024
+
+
+def test_kitti_fixture_end_to_end_lio(tmp_path):
+    """The north-star path on KITTI-FORMAT data: generate a KITTI-layout
+    dataset, load it through the real loader (bin/calib/poses parsing),
+    synthesize per-point times + IMU + GPS like BENCH_MODE=kitti does, and
+    drive the full native LIO stack (deskew -> point-to-plane GN -> EKF)
+    to an ATE bound against the loaded ground truth."""
+    import jax.numpy as jnp
+
+    from slam_sensor_fusion_tpu.models import lio
+    from slam_sensor_fusion_tpu.ops.morton import sort_order_numpy
+    from slam_sensor_fusion_tpu.ops.point_to_plane import PointToPlaneConfig
+
+    root = str(tmp_path / "kitti")
+    n_frames = 12
+    kitti.make_synthetic_kitti(
+        root, n_frames=n_frames, max_points=3000, extent=60.0,
+        points_per_m2=24.0, seed=0,
+    )
+    seq = kitti.load_sequence(root, "00")
+    assert len(seq.scans) == n_frames
+    sizes = {len(s) for s in seq.scans}
+    assert len(sizes) > 1, "fixture scan sizes should vary like real logs"
+
+    cap = kitti.suggest_scan_capacity(seq.scans)
+    config = lio.LIOConfig(
+        scan_capacity=cap,
+        window=8,
+        slot_points=2048,
+        refresh_every=4,
+        p2p=PointToPlaneConfig(
+            nn_backend="xla", num_iterations=4, normal_voxel=1.0
+        ),
+    )
+
+    # loader contract: Morton pre-sort, synthesized taus ride along
+    sp = np.zeros((n_frames, cap, 3), np.float32)
+    sm = np.zeros((n_frames, cap), bool)
+    tp = np.ones((n_frames, cap), np.float32)
+    for i, s in enumerate(seq.scans):
+        tau = kitti.azimuth_taus(s)
+        order = sort_order_numpy(s, isotropic=True)
+        n = len(s)
+        sp[i, :n] = s[order]
+        sm[i, :n] = True
+        tp[i, :n] = tau[order]
+
+    gyro, accel, dts = kitti.synthesize_imu(seq.poses)
+    gps = seq.poses[1:, :3, 3] + np.random.default_rng(3).normal(
+        0, 0.05, (n_frames - 1, 3)
+    ).astype(np.float32)
+
+    state = lio.init_state(
+        config, jnp.asarray(sp[0]), jnp.asarray(sm[0]),
+        jnp.asarray(seq.poses[0], jnp.float32),
+    )
+    v0 = (seq.poses[1, :3, 3] - seq.poses[0, :3, 3]) / 0.1
+    state = state._replace(
+        ekf_state=state.ekf_state._replace(v=jnp.asarray(v0, jnp.float32))
+    )
+    _, outs = lio.run_lio_blocks(
+        state,
+        jnp.asarray(sp[1:]), jnp.asarray(sm[1:]),
+        jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dts),
+        jnp.asarray(gps),
+        jnp.full(n_frames - 1, 1.0, jnp.float32),
+        jnp.ones(n_frames - 1, bool),
+        config,
+        scan_tau=jnp.asarray(tp[1:]),
+    )
+    est = np.asarray(outs.world_T_body)
+    gt = seq.poses[1:]
+    ate = float(np.sqrt(((est[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean()))
+    assert ate < 0.2, ate
+    assert int(np.asarray(outs.n_correspondences)[-1]) > 500
