@@ -346,3 +346,103 @@ def test_fleet_lio_matches_single(rng):
             np.asarray(out1.world_T_body),
             atol=1e-4,
         )
+
+
+def test_sp_steady_state_trajectory_matches_single_device(rng):
+    """The sp STEADY-STATE loop (parallel/map_shard.sp_run_chunk): a
+    T=9-frame trajectory of prediction -> blend -> gate -> ICP frames
+    against the 8-way-sharded map must equal the single-device loop
+    against the full map — the session form of map sharding, not just a
+    one-shot align (each shard holds only 1/8 of the map; no device ever
+    sees the whole thing)."""
+    import dataclasses
+
+    from slam_sensor_fusion_tpu.ops.morton import sort_points_numpy
+    from slam_sensor_fusion_tpu.parallel.map_shard import (
+        shard_cloud,
+        sp_init_state,
+        sp_run_chunk,
+        sp_run_chunk_single,
+    )
+    from slam_sensor_fusion_tpu.utils import synthetic as syn
+    from slam_sensor_fusion_tpu.utils.config import (
+        ICPConfig,
+        StochasticFilterConfig,
+    )
+    from test_icp import padded
+
+    world = syn.make_world(rng, extent=40.0, n_buildings=10, n_poles=25,
+                           points_per_m2=8.0)
+    n_frames = 10
+    poses = syn.make_trajectory(n_frames, speed_per_frame=0.15, radius=9.0)
+    map_pts = sort_points_numpy(world)
+    scans = [
+        syn.render_scan(world, poses[i], rng, max_points=700, max_range=20.0)
+        for i in range(1, n_frames)
+    ]
+    T = n_frames - 1
+    sp = np.zeros((T, 768, 3), np.float32)
+    sm = np.zeros((T, 768), bool)
+    for i, s in enumerate(scans):
+        sp[i, : len(s)] = s
+        sm[i, : len(s)] = True
+    odom_T = poses[1:].astype(np.float32)
+    gps_T = (poses[1:] + rng.normal(0, 0.05, (T, 4, 4)).astype(np.float32)
+             * np.array([0, 0, 0, 1.0])[None, None, :]).astype(np.float32)
+    odom_cov = np.full(T, 0.05, np.float32)
+    gps_cov = np.full(T, 1.0, np.float32)
+
+    cfg = dataclasses.replace(
+        ICPConfig(), nn_backend="pallas", pallas_interpret=True,
+        tile_src=128, tile_tgt=128,
+        # the compact 40 m world admits almost every (src, tgt) tile pair;
+        # the SINGLE-device oracle needs visit/pair capacity for ALL of
+        # them (per-shard lists each cover only 1/8 of the target tiles):
+        # >= the ~180 target tiles makes the lists complete by construction
+        max_visits=256, max_pairs_factor=256,
+    )
+    fcfg = StochasticFilterConfig()
+    cap = -(-len(map_pts) // cfg.tile_tgt) * cfg.tile_tgt
+    t_full, tm_full = padded(map_pts, cap)
+    state0 = sp_init_state(
+        jnp.asarray(poses[0], jnp.float32),
+        jnp.asarray(poses[0], jnp.float32), fcfg,
+    )
+    st_s, out_s = sp_run_chunk_single(
+        state0, jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(odom_T),
+        jnp.asarray(gps_T), jnp.asarray(odom_cov), jnp.asarray(gps_cov),
+        t_full, tm_full, cfg, fcfg, interpret=True,
+    )
+
+    n_shards = 8
+    shards, shard_mask = shard_cloud(map_pts, n_shards, cfg.tile_tgt)
+    mesh = make_mesh(n_shards, axis="sp")
+    st_p, out_p = sp_run_chunk(
+        state0, jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(odom_T),
+        jnp.asarray(gps_T), jnp.asarray(odom_cov), jnp.asarray(gps_cov),
+        jnp.asarray(shards), jnp.asarray(shard_mask),
+        cfg, fcfg, mesh, interpret=True,
+    )
+
+    assert not np.asarray(out_s.pair_overflow).any()
+    assert not np.asarray(out_p.pair_overflow).any()
+    np.testing.assert_array_equal(
+        np.asarray(out_p.icp_converged), np.asarray(out_s.icp_converged)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p.n_correspondences),
+        np.asarray(out_s.n_correspondences),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.map_T_sensor), np.asarray(out_s.map_T_sensor),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_p.map_T_sensor), np.asarray(st_s.map_T_sensor),
+        atol=1e-4,
+    )
+    # and the loop actually tracked the trajectory
+    err = np.linalg.norm(
+        np.asarray(out_p.map_T_sensor)[:, :3, 3] - poses[1:, :3, 3], axis=1
+    )
+    assert err.max() < 0.3, err
