@@ -868,6 +868,14 @@ def bench_map() -> dict:
     n_frames = int(os.environ.get("BENCH_MAP_FRAMES", "512"))
     scan_cap = int(os.environ.get("BENCH_MAP_SCAN_CAP", "16384"))
     voxel = float(os.environ.get("BENCH_MAP_VOXEL", "0.2"))
+    # frames per table update: the insert is LAUNCH-bound (measured:
+    # ~3.8 ms/frame for ~1.3M scatter elements, far off element-rate), so
+    # batching frames into one update is near-linear speedup. Sums/counts
+    # are associative — batching is bit-identical to per-frame inserts —
+    # and the reference's own recorder only materializes every 10th frame
+    # (map_data_save_node.h:72), so batch=8 UPDATES the map more often
+    # than the reference persists it.
+    batch = int(os.environ.get("BENCH_MAP_BATCH", "8"))
 
     import pickle
 
@@ -899,6 +907,8 @@ def bench_map() -> dict:
         voxel_size=voxel,
         table_size=1 << int(os.environ.get("BENCH_MAP_TABLE_LOG2", "21")),
         max_probes=int(os.environ.get("BENCH_MAP_PROBES", "8")),
+        # straggler compaction scales with the grouped insert width
+        straggler_capacity=max(1024, batch * 512),
         dim_xy=1024,
         dim_z=128,
     )
@@ -924,19 +934,39 @@ def bench_map() -> dict:
     @jax.jit
     def run(state, frames):
         def body(carry, frame):
+            # a frame here is a BATCH of `batch` scans: deskew each with
+            # its own twist (vmap), then one table update for the group
             pts, msk, tau, tw, T = frame
-            fixed = deskew(pts, tau, tw)
-            world_pts = fixed @ T[:3, :3].T + T[:3, 3]
-            return voxel_map_insert(carry, world_pts, msk, cfg), None
+            fixed = jax.vmap(deskew)(pts, tau, tw)
+            world_pts = jnp.einsum("bij,bnj->bni", T[:, :3, :3], fixed) \
+                + T[:, None, :3, 3]
+            return (
+                voxel_map_insert(
+                    carry,
+                    world_pts.reshape(-1, 3),
+                    msk.reshape(-1),
+                    cfg,
+                ),
+                None,
+            )
 
         state, _ = jax.lax.scan(body, state, frames)
         return state
 
+    nb = n_frames // batch * batch  # whole groups only
+    if nb != n_frames:
+        log(f"map: truncating to {nb} frames ({batch}-frame groups)")
+
+    def group(a):
+        a = np.asarray(a)[:nb]
+        return a.reshape(nb // batch, batch, *a.shape[1:])
+
     frames = tuple(
-        jax.device_put(jnp.asarray(a))
+        jax.device_put(jnp.asarray(group(a)))
         for a in (sp, sm, tp, xi.astype(np.float32),
                   poses.astype(np.float32))
     )
+    n_frames = nb
     init = voxel_map_init(cfg, origin)
     log("map: compiling ...")
     t0 = time.perf_counter()

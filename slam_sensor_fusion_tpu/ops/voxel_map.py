@@ -16,7 +16,7 @@ update would re-sort the WHOLE store every frame (O((V+S) log(V+S)) on
 V ~ 10^6 cells). The scatter form touches only the S inserted points —
 two probe rounds at full scan width place ~all of them (per-round miss
 rate ~ table occupancy), then the few collision losers are COMPACTED and
-finish the deep probe budget on a small array — no sort of the store, no
+finish the deep probe budget on a small array — no sorting anywhere, no
 host round-trip, O(S) per frame.
 
 Collision policy (deterministic, masked, observability-first):
@@ -164,6 +164,10 @@ def voxel_map_insert(
     key, active, n_oob = _pack_ids(points, mask, state.origin, config)
     keys, sums, counts = state.keys, state.sums, state.counts
 
+    # (Measured dead end, for the record: pre-deduplicating the scan by
+    # cell — sort + segment-sum — to enable unique_indices scatters was
+    # SLOWER on v5e (225 vs 284 scans/s in BENCH_MODE=map): the per-insert
+    # argsort costs more than the vectorized-scatter lowering saves.)
     def rounds(keys, sums, counts, key, pts, act, lo, hi):
         for probe in range(lo, hi):
             slot = _probe_slot(key, probe, config.table_size)
