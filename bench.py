@@ -903,6 +903,29 @@ def bench_map() -> dict:
             with open(cache_path, "wb") as f:
                 pickle.dump((poses, scans, taus), f)
 
+    origin = np.array([-100.0, -100.0, -10.0], np.float32)
+
+    # size the dedup stage from the data (autosize-style): measure unique
+    # cells per insert group on a few sample groups, take 1.5x headroom.
+    # n_dropped == 0 is asserted below, so an undersized guess is loud.
+    uniq_env = os.environ.get("BENCH_MAP_UNIQ")
+    if uniq_env is not None:
+        uniq_cap = int(uniq_env)
+    else:
+        n_groups = max(n_frames // batch, 1)
+        worst = 0
+        for g in {0, n_groups // 2, n_groups - 1}:
+            pts = []
+            for i in range(g * batch, min((g + 1) * batch, n_frames)):
+                s = scans[i][:scan_cap]
+                pts.append(s @ poses[i][:3, :3].T + poses[i][:3, 3])
+            p = np.concatenate(pts)
+            ijk = np.floor((p - origin) / voxel).astype(np.int64)
+            packed = (ijk[:, 0] << 42) + (ijk[:, 1] << 21) + ijk[:, 2]
+            worst = max(worst, len(np.unique(packed)))
+        uniq_cap = min(batch * scan_cap, -(-int(worst * 1.5) // 4096) * 4096)
+        log(f"map: unique cells/group <= {worst} -> unique_capacity {uniq_cap}")
+
     cfg = VoxelMapConfig(
         voxel_size=voxel,
         table_size=1 << int(os.environ.get("BENCH_MAP_TABLE_LOG2", "21")),
@@ -911,8 +934,8 @@ def bench_map() -> dict:
         straggler_capacity=max(1024, batch * 512),
         dim_xy=1024,
         dim_z=128,
+        unique_capacity=uniq_cap,
     )
-    origin = np.array([-100.0, -100.0, -10.0], np.float32)
 
     sp = np.zeros((n_frames, scan_cap, 3), np.float32)
     sm = np.zeros((n_frames, scan_cap), bool)

@@ -13,11 +13,20 @@ running (sum, count) per cell is an exact incremental centroid.
 Why a hash table and not the sort+segment form (ops/cloud.voxel_downsample)?
 The sort form is right for one-shot downsampling, but an incremental
 update would re-sort the WHOLE store every frame (O((V+S) log(V+S)) on
-V ~ 10^6 cells). The scatter form touches only the S inserted points —
-two probe rounds at full scan width place ~all of them (per-round miss
-rate ~ table occupancy), then the few collision losers are COMPACTED and
-finish the deep probe budget on a small array — no sorting anywhere, no
-host round-trip, O(S) per frame.
+V ~ 10^6 cells). Here only the SCAN is sorted (S log S on S ~ 10^5,
+measured 0.7 ms for 131k points on v5e) and segment-reduced to one
+(sum, count) row per touched CELL; every table-width gather/scatter then
+runs at the unique-cell width U << S. On v5e the scatter-adds are the
+insert's cost center and scale super-linearly with width (131k -> 32k
+indices = 6x cheaper), so dedup-first is a measured 3.4x over probing at
+scan width (27.8 -> 8.2 ms per 131k-point group; the earlier dead end —
+unique-index scatters still at FULL scan width — was slower than
+duplicate scatters because the argsort bought no width reduction).
+After dedup: two claim rounds at width U place ~all cells (per-round
+miss rate ~ table occupancy), the few collision losers are COMPACTED and
+finish the deep probe budget on a small array, and each phase lands ONE
+scatter-add of the per-cell moments. No host round-trip, O(S log S) per
+frame with tiny constants.
 
 Collision policy (deterministic, masked, observability-first):
 
@@ -70,12 +79,20 @@ class VoxelMapConfig(NamedTuple):
     #: (see voxel_map_insert: rounds are the dominant insert cost, and
     #: after 2 rounds only ~occupancy^2 of the scan is still unplaced)
     full_width_probes: int = 2
-    #: capacity of the compacted straggler pass; points past it (never at
+    #: capacity of the compacted straggler pass; cells past it (never at
     #: sane occupancy) are counted dropped, not silently lost
     straggler_capacity: int = 1024
     #: grid extents in CELLS; dim_xy^2 * dim_z must fit int31
     dim_xy: int = 2048
     dim_z: int = 256
+    #: width of the per-insert unique-cell stage (the dedup scratch and
+    #: every claim/add). 0 = scan width (always complete). Real scans
+    #: touch FAR fewer cells than they have points (a 131k-point group
+    #: lands in ~29k cells at 0.2 m), and scatter cost scales
+    #: super-linearly with width, so size this to ~1.5x the measured
+    #: per-insert unique-cell count; points in cells past it are counted
+    #: in n_dropped (same silent-truncation-is-forbidden rule)
+    unique_capacity: int = 0
 
     def validate(self) -> "VoxelMapConfig":
         if self.dim_xy * self.dim_xy * self.dim_z > 2**31:
@@ -161,53 +178,99 @@ def voxel_map_insert(
     Pure carry-update (scan-compatible). Unplaceable points are COUNTED,
     never silently dropped into a wrong cell.
     """
+    S = points.shape[0]
     key, active, n_oob = _pack_ids(points, mask, state.origin, config)
-    keys, sums, counts = state.keys, state.sums, state.counts
+    key = jnp.where(active, key, _EMPTY)
+    U = config.unique_capacity or S
+    U = min(U, S)
 
-    # (Measured dead end, for the record: pre-deduplicating the scan by
-    # cell — sort + segment-sum — to enable unique_indices scatters was
-    # SLOWER on v5e (225 vs 284 scans/s in BENCH_MODE=map): the per-insert
-    # argsort costs more than the vectorized-scatter lowering saves.)
-    def rounds(keys, sums, counts, key, pts, act, lo, hi):
+    # ---- dedup: sort the scan by cell id (masked points sort last as
+    # _EMPTY = int32 max), segment-reduce to one (sum, count) per cell.
+    # All subsequent table traffic runs at unique-cell width U, where the
+    # scatter cost lives (see module docstring for the v5e measurements).
+    k_s, px, py, pz = jax.lax.sort(
+        (key, points[:, 0], points[:, 1], points[:, 2]), num_keys=1
+    )
+    p_s = jnp.stack([px, py, pz], axis=1)
+    valid = k_s != _EMPTY
+    first = jnp.concatenate([valid[:1], valid[1:] & (k_s[1:] != k_s[:-1])])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    over = valid & (seg >= U)  # unique-capacity overflow: counted below
+    use = valid & ~over
+    seg_c = jnp.clip(seg, 0, U - 1)
+    cell_sum = jnp.zeros((U, 3), jnp.float32).at[seg_c].add(
+        jnp.where(use[:, None], p_s, 0.0), indices_are_sorted=True
+    )
+    cell_cnt = jnp.zeros((U,), jnp.float32).at[seg_c].add(
+        use.astype(jnp.float32), indices_are_sorted=True
+    )
+    (starts,) = jnp.nonzero(first, size=U, fill_value=S - 1)
+    n_uniq = jnp.sum(first.astype(jnp.int32))
+    uvalid = jnp.arange(U) < n_uniq
+    ukey = jnp.where(uvalid, k_s[starts], _EMPTY)
+
+    keys = state.keys
+
+    def claim(keys, ck, act, lo, hi):
+        """Probe rounds claiming one slot per (distinct) cell key.
+
+        Occupied slots only ever receive _EMPTY min-candidates (a no-op),
+        so history is never displaced; same-round contenders for a free
+        slot resolve by scatter-min and the losers re-probe.
+        """
+        owned = jnp.zeros_like(ck)
+        placed = jnp.zeros_like(act)
         for probe in range(lo, hi):
-            slot = _probe_slot(key, probe, config.table_size)
-            cur = keys[slot]
-            contend = act & (cur == _EMPTY)
-            # claim free slots: occupied slots only ever receive EMPTY
-            # candidates (a no-op under min), so history is never displaced
-            keys = keys.at[slot].min(jnp.where(contend, key, _EMPTY))
-            own = act & (keys[slot] == key)
-            sums = sums.at[slot].add(jnp.where(own[:, None], pts, 0.0))
-            counts = counts.at[slot].add(own.astype(jnp.float32))
+            slot = _probe_slot(ck, probe, config.table_size)
+            contend = act & (keys[slot] == _EMPTY)
+            keys = keys.at[slot].min(jnp.where(contend, ck, _EMPTY))
+            own = act & (keys[slot] == ck)
+            owned = jnp.where(own, slot, owned)
+            placed = placed | own
             act = act & ~own
-        return keys, sums, counts, act
+        return keys, owned, placed, act
 
-    # phase 1: a couple of rounds at full scan width place ~all points
+    def add_at(sums, counts, owned, placed, c_sum, c_cnt):
+        # ONE scatter-add per phase: unplaced lanes alias slot 0 with a
+        # zero contribution
+        slot = jnp.where(placed, owned, 0)
+        sums = sums.at[slot].add(c_sum * placed[:, None])
+        counts = counts.at[slot].add(c_cnt * placed)
+        return sums, counts
+
+    # phase 1: a couple of rounds at unique width place ~all cells
     # (per-round miss rate ~ table occupancy)
     fw = min(config.full_width_probes, config.max_probes)
-    keys, sums, counts, active = rounds(
-        keys, sums, counts, key, points, active, 0, fw
+    keys, owned, placed, rem = claim(keys, ukey, uvalid, 0, fw)
+    sums, counts = add_at(
+        state.sums, state.counts, owned, placed, cell_sum, cell_cnt
     )
 
-    n_dropped = jnp.int32(0)
+    n_dropped = jnp.sum(over.astype(jnp.int32))
     if config.max_probes > fw:
-        # phase 2: compact the stragglers (collision losers) and finish
-        # the probe budget on the small array — deep-probe correctness at
-        # a fraction of the full-width scatter cost
-        r_cap = min(config.straggler_capacity, points.shape[0])
-        n_act = jnp.sum(active.astype(jnp.int32))
-        (idx,) = jnp.nonzero(active, size=r_cap, fill_value=0)
-        r_act = jnp.arange(r_cap) < n_act
-        keys, sums, counts, r_left = rounds(
-            keys, sums, counts, key[idx], points[idx], r_act,
-            fw, config.max_probes,
+        # phase 2: compact the straggler cells (collision losers) and
+        # finish the probe budget on the small array — deep-probe
+        # correctness at a fraction of the width-U scatter cost
+        r_cap = min(config.straggler_capacity, U)
+        n_rem = jnp.sum(rem.astype(jnp.int32))
+        (idx,) = jnp.nonzero(rem, size=r_cap, fill_value=0)
+        r_act = jnp.arange(r_cap) < n_rem
+        rkey = jnp.where(r_act, ukey[idx], _EMPTY)
+        keys, r_owned, r_placed, _ = claim(
+            keys, rkey, r_act, fw, config.max_probes
         )
-        n_dropped = (
-            jnp.sum(r_left.astype(jnp.int32))
-            + jnp.maximum(n_act - r_cap, 0)
+        r_cnt = cell_cnt[idx]
+        sums, counts = add_at(
+            sums, counts, r_owned, r_placed, cell_sum[idx], r_cnt
         )
+        # dropped POINTS: everything in cells that were still unplaced
+        # after phase 1 minus what phase 2 landed (covers both deep-probe
+        # exhaustion and cells past the straggler cap)
+        n_dropped = n_dropped + (
+            jnp.sum(cell_cnt * rem) - jnp.sum(r_cnt * r_placed)
+        ).astype(jnp.int32)
     else:
-        n_dropped = jnp.sum(active.astype(jnp.int32))
+        n_dropped = n_dropped + jnp.sum(cell_cnt * rem).astype(jnp.int32)
 
     return VoxelMapState(
         keys=keys,

@@ -130,6 +130,68 @@ def suggest_localization_config(
     )
 
 
+def suggest_voxel_map_config(
+    world_frames: list[np.ndarray],
+    voxel_size: float,
+    frames_per_insert: int = 1,
+    origin: np.ndarray | None = None,
+    cell_margin: float = 1.5,
+    extent_margin_m: float = 20.0,
+):
+    """A VoxelMapConfig + origin sized to a sample of WORLD-frame scans.
+
+    Sizes the three capacities the device voxel store needs up front
+    (grid extents, hash-table size, per-insert unique-cell width) from
+    the data instead of hand tuning, mirroring the reference's
+    accumulate-anything recorder (map_data_save_node.cpp:60-99). The
+    store's n_dropped / n_oob counters stay the loud backstop if the
+    sample under-represents the run.
+
+    Returns (config, origin). `world_frames` is a representative sample
+    (a prefix works); `frames_per_insert` is the insert grouping the
+    caller will use (unique-cell width is measured per GROUP).
+    """
+    from slam_sensor_fusion_tpu.ops.voxel_map import VoxelMapConfig
+
+    frames = [np.asarray(f, np.float32).reshape(-1, 3)
+              for f in world_frames if len(f)]
+    if not frames:
+        raise ValueError("empty sample")
+    lo = np.min([f.min(axis=0) for f in frames], axis=0) - extent_margin_m
+    hi = np.max([f.max(axis=0) for f in frames], axis=0) + extent_margin_m
+    if origin is None:
+        origin = lo.astype(np.float32)
+    dims = np.ceil((hi - np.asarray(origin)) / voxel_size).astype(int) + 1
+    dim_xy = int(max(dims[0], dims[1]))
+    dim_z = int(dims[2])
+
+    def cells(pts):
+        ijk = np.floor((pts - origin) / voxel_size).astype(np.int64)
+        return (ijk[:, 0] << 42) + (ijk[:, 1] << 21) + ijk[:, 2]
+
+    g = max(frames_per_insert, 1)
+    per_group = max(
+        len(np.unique(cells(np.concatenate(frames[i:i + g]))))
+        for i in range(0, len(frames), g)
+    )
+    unique_capacity = -(-int(per_group * cell_margin) // 4096) * 4096
+    total = len(np.unique(np.concatenate([cells(f) for f in frames])))
+    # x4: occupancy <= 0.25 even if the sample is the whole run, more
+    # headroom when it's a prefix (probe failure ~ occupancy^probes)
+    table_size = _pow2(4 * total, floor=1 << 14)
+    return (
+        VoxelMapConfig(
+            voxel_size=voxel_size,
+            table_size=table_size,
+            dim_xy=dim_xy,
+            dim_z=dim_z,
+            unique_capacity=unique_capacity,
+            straggler_capacity=max(1024, unique_capacity // 16),
+        ).validate(),
+        np.asarray(origin, np.float32),
+    )
+
+
 def suggest_lio_config(scans: list[np.ndarray], base=None, target_reg_points: int = 2048):
     """A LIOConfig sized to the scan sample: capacity with headroom and a
     registration subsample hitting ~`target_reg_points` device points

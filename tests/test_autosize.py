@@ -91,3 +91,43 @@ def test_autosized_pipeline_runs_clean(rng):
         axis=1,
     )
     assert err.mean() < 0.3, err
+
+
+def test_voxel_map_autosize_runs_clean(rng):
+    """An autosized device voxel map absorbs the sample with zero
+    dropped/oob and matches the host merge (the same completeness
+    property as the pipeline configs, for the mapping product)."""
+    import jax.numpy as jnp
+
+    from slam_sensor_fusion_tpu.ops.cloud import voxel_downsample_numpy
+    from slam_sensor_fusion_tpu.ops.voxel_map import (
+        voxel_map_centroids_numpy,
+        voxel_map_init,
+        voxel_map_insert,
+    )
+
+    base = rng.uniform(0.0, 40.0, (600, 3)).astype(np.float32)
+    frames = [
+        (base[rng.integers(0, 600, 1500)]
+         + rng.normal(0, 0.8, (1500, 3))).astype(np.float32)
+        for _ in range(6)
+    ]
+    cfg, origin = autosize.suggest_voxel_map_config(
+        frames, voxel_size=0.5, frames_per_insert=2
+    )
+    assert cfg.unique_capacity >= 4096
+    state = voxel_map_init(cfg, jnp.asarray(origin))
+    for i in range(0, 6, 2):
+        pts = np.concatenate(frames[i:i + 2])
+        state = voxel_map_insert(
+            state, jnp.asarray(pts), jnp.ones(len(pts), bool), cfg
+        )
+    assert int(state.n_dropped) == 0 and int(state.n_oob) == 0
+
+    got = voxel_map_centroids_numpy(state)
+    want = voxel_downsample_numpy(np.concatenate(frames), 0.5, origin=origin)
+    assert len(got) == len(want)
+    order = lambda a: np.asarray(a, np.float64)[
+        np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+    ]
+    np.testing.assert_allclose(order(got), order(want), atol=1e-4)
