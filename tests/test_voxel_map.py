@@ -147,3 +147,78 @@ def test_streaming_mapper_device_path_matches_host(rng):
     # (5 frames at save_rate 2 = 2 full tiles + the finalize-flushed tail)
     assert len(m_dev.tiles) == 3
     assert len(m_dev.gps_rows) == 5
+
+
+def test_sharded_voxel_map_matches_single_device(rng):
+    """parallel/voxel_map_shard: the union of the 8 shards' cells must
+    equal the single-device store cell-exactly, with per-shard tables
+    deliberately too small to hold the whole map (the capacity-scaling
+    claim), and the same zero dropped/oob observability."""
+    import jax.numpy as jnp
+
+    from slam_sensor_fusion_tpu.parallel.mesh import make_mesh
+    from slam_sensor_fusion_tpu.parallel.voxel_map_shard import (
+        sp_voxel_map_centroids_numpy,
+        sp_voxel_map_flags,
+        sp_voxel_map_init,
+        sp_voxel_map_insert_chunk,
+    )
+
+    frames = [_quantized_points(rng, n) for n in (1500, 1100, 1400, 1300)]
+    origin = np.zeros(3, np.float32)
+
+    single = voxel_map_init(CFG, origin)
+    for f in frames:
+        p, m = _pad(f, 2048)
+        single = voxel_map_insert(single, p, m, CFG)
+    want = voxel_map_centroids_numpy(single)
+    n_total = len(want)
+
+    mesh = make_mesh(8)
+    # per-shard table SMALLER than the total live cell set: only the
+    # sharded union can hold this map
+    small = CFG._replace(table_size=1 << 11)
+    assert small.table_size < n_total
+    state = sp_voxel_map_init(small, origin, mesh)
+    padded = [_pad(f, 2048) for f in frames]
+    state = sp_voxel_map_insert_chunk(
+        state,
+        jnp.stack([p for p, _ in padded]),
+        jnp.stack([m for _, m in padded]),
+        small,
+        mesh,
+    )
+    dropped, oob, per_shard = sp_voxel_map_flags(state)
+    assert dropped == 0 and oob == 0
+    assert per_shard.sum() == n_total
+    assert (per_shard < n_total).all()  # no shard holds the whole map
+
+    got = sp_voxel_map_centroids_numpy(state)
+    np.testing.assert_allclose(
+        _sorted_rows(got), _sorted_rows(want), atol=2e-5
+    )
+
+
+def test_sharded_voxel_map_counts_oob_once(rng):
+    """An out-of-extent point must be counted by exactly ONE shard."""
+    import jax.numpy as jnp
+
+    from slam_sensor_fusion_tpu.parallel.mesh import make_mesh
+    from slam_sensor_fusion_tpu.parallel.voxel_map_shard import (
+        sp_voxel_map_flags,
+        sp_voxel_map_init,
+        sp_voxel_map_insert_chunk,
+    )
+
+    origin = np.zeros(3, np.float32)
+    pts = np.array(
+        [[-1.0, 5.0, 5.0], [5.0, 5.0, 100.0], [5.0, 5.0, 5.0]], np.float32
+    )
+    p, m = _pad(pts, 8)
+    mesh = make_mesh(8)
+    state = sp_voxel_map_init(CFG, origin, mesh)
+    state = sp_voxel_map_insert_chunk(
+        state, p[None], m[None], CFG, mesh
+    )
+    dropped, oob, per_shard = sp_voxel_map_flags(state)
+    assert dropped == 0 and oob == 2 and per_shard.sum() == 1
