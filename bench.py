@@ -1087,7 +1087,11 @@ def bench_kitti() -> dict:
         reg_subsample=reg_sub,
         anchor_subsample=2,
         normal_est="cells",
-        normal_voxel=float(os.environ.get("BENCH_LIO_NORMAL_VOXEL", "1.8")),
+        # KITTI-shape scans want finer normal cells than the sparse
+        # synthetic survey (v5e sweep at rs8: 1.8 -> ATE 0.052,
+        # 1.2 -> 0.0297, 0.9 -> 0.0297 plateau; throughput unchanged —
+        # the cell estimator is not the frame's cost center)
+        normal_voxel=float(os.environ.get("BENCH_LIO_NORMAL_VOXEL", "1.2")),
         icp_cov_mode="gn",
         icp_pos_std=0.3,
         superstep_slack=float(os.environ.get("BENCH_LIO_SLACK", "0.05")),
