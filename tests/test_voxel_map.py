@@ -130,9 +130,15 @@ def test_streaming_mapper_device_path_matches_host(rng):
         cfg, device_origin=origin,
         device_config=CFG, device_scan_capacity=2048,
     )
+    # grouped inserts (2 frames per device launch, padded tail group)
+    # must be cell-identical: sums/counts are associative
+    m_grp = StreamingMapper(
+        cfg, device_origin=origin,
+        device_config=CFG, device_scan_capacity=2048, device_group=2,
+    )
     for k in range(5):
         pts = _quantized_points(rng, 600 + 50 * k)
-        for m in (m_host, m_dev):
+        for m in (m_host, m_dev, m_grp):
             m.add_frame(pts, np.zeros(3), 47.5, 9.0, 120.0, 0.1)
     host_map = voxel_downsample_numpy(
         np.concatenate(m_host.tiles + m_host._accum), cfg.map_voxel_size,
@@ -142,6 +148,10 @@ def test_streaming_mapper_device_path_matches_host(rng):
     assert len(dev_data.map_points) == len(host_map)
     np.testing.assert_allclose(
         _sorted_rows(dev_data.map_points), _sorted_rows(host_map), atol=2e-5
+    )
+    grp_data = m_grp.finalize(use_device=True)
+    np.testing.assert_allclose(
+        _sorted_rows(grp_data.map_points), _sorted_rows(host_map), atol=2e-5
     )
     # the host artifacts (tiles, logs) are still recorded on the fast path
     # (5 frames at save_rate 2 = 2 full tiles + the finalize-flushed tail)
