@@ -16,8 +16,10 @@ The default run (`python bench.py`) measures the HEADLINE localization
 number, then folds the companion hardware numbers into `submetrics` of the
 same line so the driver captures all of them every round (VERDICT r3 #8):
 KITTI-shape stress, native-mode LIO, mapping throughput, KITTI-format
-end-to-end, single-frame latency, and a roofline/utilization estimate.
-`BENCH_MODE=loc|stress|lio|map|kitti|latency` runs one section alone;
+end-to-end (LIO and the localization product), single-frame latency, and
+a roofline/utilization estimate.
+`BENCH_MODE=loc|stress|lio|map|kitti|kitti_loc|latency` runs one section
+alone;
 `BENCH_SUBS` (comma list) selects which companions the default run
 includes; `BENCH_BUDGET_S` bounds total wall time (late sections are
 skipped, observably, once exceeded).
@@ -345,9 +347,17 @@ STRESS_OVERRIDES = {
 }
 
 
-def bench_loc(overrides: dict | None = None) -> dict:
+def bench_loc(
+    overrides: dict | None = None,
+    data: tuple | None = None,
+    metric: str | None = None,
+) -> dict:
     """The headline number: full per-scan localization loop throughput
-    (and, with STRESS_OVERRIDES, the KITTI-shape capacity-stress number)."""
+    (and, with STRESS_OVERRIDES, the KITTI-shape capacity-stress number).
+
+    `data=(poses, seq, map_data)` replays an externally built run (the
+    KITTI-format path, bench_kitti_loc) through the identical measured
+    loop; `metric` overrides the reported metric name for such runs."""
     ov = overrides
 
     import jax
@@ -386,14 +396,17 @@ def bench_loc(overrides: dict | None = None) -> dict:
     # Native-mode defaults, measured on the v5e sweep (ARCHITECTURE.md §6):
     # scan subsample 8 (3k pts/frame) holds the voxel-limited ATE floor
     # (0.031 m vs 0.030 m at the reference's subsample 2) while the fused
-    # kernel's association cost drops ~4x. tile_src=512 halves pair-loop
-    # trip counts. ATE degrades gracefully down to ~750 pts/frame.
+    # kernel's association cost drops ~4x. Fatter source tiles cut
+    # pair-loop trips (the loop is ~us/trip overhead-bound) up to a knee
+    # where wasted distance lanes win: tile_src 512 -> 2530, 1024 -> 2622,
+    # 2048 -> 2232 scans/s at identical ATE 0.032.
+    # ATE degrades gracefully down to ~750 pts/frame.
     superstep = int(_env("BENCH_SUPERSTEP", "8", ov))
     slack = float(_env("BENCH_SLACK", "0.08", ov))
     margin = float(_env("BENCH_MARGIN", "0.5", ov))
     iters = int(_env("BENCH_ICP_ITERS", "10", ov))
     subsample = int(_env("BENCH_SUBSAMPLE", "8", ov))
-    tile_src = int(_env("BENCH_TILE_SRC", "512", ov))
+    tile_src = int(_env("BENCH_TILE_SRC", "1024", ov))
     raw_points = int(_env("BENCH_SCAN_POINTS", "24000", ov))
     density = float(_env("BENCH_DENSITY", "24.0", ov))
     scan_cap = 1 << max(int(np.ceil(np.log2(max(raw_points // subsample, 1024)))), 10)
@@ -439,7 +452,7 @@ def bench_loc(overrides: dict | None = None) -> dict:
             scan=scan_cap,
             cropped_scan=scan_cap,
             cropped_map=int(_env("BENCH_CROPPED_MAP", "65536", ov)),
-            map=1 << 20,
+            map=1 << int(_env("BENCH_MAP_CAP_LOG2", "20", ov)),
             bf_source=1024,
             bf_target=8192,
         ),
@@ -458,7 +471,11 @@ def bench_loc(overrides: dict | None = None) -> dict:
     cache_key = f"v1_{n_frames}_{raw_points}_{density}"
     cache_path = f"/tmp/sfbench_world_{cache_key}.pkl"
     use_cache = os.environ.get("BENCH_NO_CACHE", "0") != "1"
-    if use_cache and os.path.exists(cache_path):
+    if data is not None:
+        poses, seq, map_data = data
+        n_frames = len(seq.scans)
+        chunk = int(_env("BENCH_CHUNK", str(n_frames - 1), ov))
+    elif use_cache and os.path.exists(cache_path):
         log(f"loading cached world/sequence ({cache_path}) ...")
         with open(cache_path, "rb") as f:
             poses, seq, map_data = pickle.load(f)
@@ -663,7 +680,7 @@ def bench_loc(overrides: dict | None = None) -> dict:
     assert n_slack == 0, f"superstep slack violated on {n_slack} frames"
 
     result = {
-        "metric": (
+        "metric": metric if metric is not None else (
             "registered scans/sec (full per-scan localization loop, "
             + ("KITTI-sized scans ~122k raw pts"
                if overrides is not None
@@ -1187,12 +1204,75 @@ def bench_kitti() -> dict:
     }
 
 
+def bench_kitti_loc() -> dict:
+    """KITTI-format data through the LOCALIZATION product — the reference's
+    own per-scan pipeline (localization_node.cpp:263-374) fed from the
+    KITTI loader instead of the synthetic world. Scans + ground truth come
+    from `KITTI_ROOT` (or the generated fixture); the map is the mapping
+    product's artifact (every 4th scan at its ground-truth pose, merged +
+    voxel-downsampled, global_map_frames_manager.cpp:110-151); the streams
+    the odometry benchmark doesn't ship — upstream LIO odometry, GPS
+    NavSatFix, compass heading (localization_node.cpp:80-84) — are
+    synthesized from ground truth (synthetic.make_sequence_from_scans).
+    The measured loop is bench_loc's, unchanged."""
+    from slam_sensor_fusion_tpu.models.mapping import build_map_data
+    from slam_sensor_fusion_tpu.utils import kitti
+    from slam_sensor_fusion_tpu.utils import synthetic as syn
+
+    root = os.environ.get("KITTI_ROOT")
+    seq_name = os.environ.get("BENCH_KITTI_SEQ", "00")
+    source = "real"
+    if root:
+        n_frames = int(os.environ.get("BENCH_KITTI_FRAMES", "512"))
+    else:
+        source = "fixture"
+        n_frames = int(os.environ.get("BENCH_KITTI_FRAMES", "256"))
+        fix_pts = int(os.environ.get("BENCH_KITTI_FIXTURE_PTS", "16384"))
+        root = f"/tmp/sfbench_kitti_v1_{n_frames}_{fix_pts}"
+        if not os.path.exists(os.path.join(root, "poses", "00.txt")):
+            log(f"kitti-loc: generating fixture at {root} ...")
+            kitti.make_synthetic_kitti(
+                root, n_frames=n_frames, max_points=fix_pts, extent=140.0
+            )
+    log(f"kitti-loc: loading {root} seq {seq_name} ({source}) ...")
+    kseq = kitti.load_sequence(root, seq_name, max_frames=n_frames)
+    n_frames = len(kseq.scans)
+
+    seq = syn.make_sequence_from_scans(kseq.scans, kseq.poses)
+    tiles = [
+        (s @ kseq.poses[i][:3, :3].T + kseq.poses[i][:3, 3]).astype(np.float32)
+        for i, s in enumerate(kseq.scans)
+        if i % 4 == 0
+    ]
+    odom_pos, gps_rows = syn.make_mapping_logs(seq)
+    map_data = build_map_data(tiles, odom_pos, gps_rows)
+    log(f"kitti-loc: map points {map_data.map_points.shape}")
+
+    raw = max(len(s) for s in kseq.scans)
+    map_cap_log2 = int(np.ceil(np.log2(max(len(map_data.map_points), 1024))))
+    ov = {
+        "BENCH_SCAN_POINTS": str(raw),
+        "BENCH_MAP_CAP_LOG2": str(map_cap_log2),
+    }
+    res = bench_loc(
+        overrides=ov,
+        data=(np.asarray(kseq.poses, np.float32), seq, map_data),
+        metric=(
+            f"KITTI-format localization scans/sec ({source} seq {seq_name})"
+        ),
+    )
+    res["source"] = source
+    res["frames"] = n_frames
+    return res
+
+
 _SECTIONS = {
     "loc": lambda: bench_loc(),
     "stress": lambda: bench_loc(STRESS_OVERRIDES),
     "lio": lambda: bench_lio(),
     "map": lambda: bench_map(),
     "kitti": lambda: bench_kitti(),
+    "kitti_loc": lambda: bench_kitti_loc(),
     "latency": lambda: bench_latency(),
 }
 
@@ -1228,7 +1308,7 @@ def main() -> None:
     selected = [
         s.strip()
         for s in os.environ.get(
-            "BENCH_SUBS", "latency,stress,lio,map,kitti"
+            "BENCH_SUBS", "latency,stress,lio,map,kitti,kitti_loc"
         ).split(",")
         if s.strip()
     ]
