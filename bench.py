@@ -1097,9 +1097,9 @@ def bench_kitti() -> dict:
             num_iterations=int(os.environ.get("BENCH_LIO_ITERS", "2")),
             fixed_correspondences=True,
             reassoc_margin=0.15,
-            tile_src=512,
-            tile_tgt=1024,
-            max_visits=64,
+            tile_src=int(os.environ.get("BENCH_LIO_TILE_SRC", "512")),
+            tile_tgt=int(os.environ.get("BENCH_LIO_TILE_TGT", "1024")),
+            max_visits=int(os.environ.get("BENCH_LIO_MAX_VISITS", "64")),
         ),
         reg_subsample=reg_sub,
         anchor_subsample=2,
@@ -1170,7 +1170,10 @@ def bench_kitti() -> dict:
     np.asarray(ws.ekf_state.p)
     log(f"kitti: compile+first pass: {time.perf_counter() - t0:.1f}s")
 
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+    repeats = int(os.environ.get("BENCH_REPEATS", "1" if trace_dir else "3"))
     elapsed = float("inf")
     outs = None
     for r in range(max(repeats, 1)):
@@ -1182,6 +1185,12 @@ def bench_kitti() -> dict:
         elapsed = min(elapsed, dt)
         if outs is None:
             outs = o
+    if trace_dir:
+        jax.profiler.stop_trace()
+        from slam_sensor_fusion_tpu.utils.profiling import summarize_trace
+
+        for name, ms, n in summarize_trace(trace_dir, top=30):
+            log(f"  trace {ms:9.3f} ms  x{n:<5d} {name}")
     est = np.asarray(outs.world_T_body)
     gt = seq.poses[1:]
     ate = float(np.sqrt(((est[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean()))
