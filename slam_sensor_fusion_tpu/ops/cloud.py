@@ -265,7 +265,16 @@ def voxel_downsample_numpy(
     points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     if points.shape[0] == 0:
         return points.astype(np.float32)
-    origin = points.min(axis=0) if origin is None else np.asarray(origin)
+    if origin is None:
+        origin = points.min(axis=0)
+    else:
+        origin = np.asarray(origin)
+        if not (points >= origin - 1e-9).all():
+            raise ValueError(
+                "voxel_downsample_numpy: origin is above the data min "
+                "(negative cell indices would collide); pass an origin "
+                "<= the point minimum per axis"
+            )
     ijk = np.floor((points - origin) / voxel_size).astype(np.int64)
     dims = ijk.max(axis=0) + 1
     lin = (ijk[:, 0] * dims[1] + ijk[:, 1]) * dims[2] + ijk[:, 2]

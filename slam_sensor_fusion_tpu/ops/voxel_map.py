@@ -95,10 +95,12 @@ class VoxelMapConfig(NamedTuple):
     unique_capacity: int = 0
 
     def validate(self) -> "VoxelMapConfig":
-        if self.dim_xy * self.dim_xy * self.dim_z > 2**31:
+        # >=: id 2^31-1 (int32 max) is the _EMPTY sentinel — a point in
+        # the far-corner cell would silently read as masked otherwise
+        if self.dim_xy * self.dim_xy * self.dim_z >= 2**31:
             raise ValueError(
-                "voxel grid id space exceeds int32: "
-                f"{self.dim_xy}^2 * {self.dim_z} > 2^31"
+                "voxel grid id space exceeds int32 (the top id is the "
+                f"empty sentinel): {self.dim_xy}^2 * {self.dim_z} >= 2^31"
             )
         return self
 

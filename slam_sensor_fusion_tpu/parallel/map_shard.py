@@ -14,7 +14,7 @@ runs replicated on every device, bit-identical to the single-device
 program. See ops/icp._icp_pallas(axis_name=...) for the combine.
 
 Reference scope note: the reference loads its whole map on one host
-(map_server_node.cpp / global_map_frames_manager.cpp) — this path is the
+(global_map_frames_manager.cpp:93-151) — this path is the
 TPU-native extension for maps past one chip's memory, not a parity item.
 """
 

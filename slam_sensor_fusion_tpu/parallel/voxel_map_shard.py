@@ -34,7 +34,6 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from slam_sensor_fusion_tpu.ops.voxel_map import (
-    _HASH_MULT,
     VoxelMapConfig,
     VoxelMapState,
     voxel_map_centroids_numpy,
@@ -45,16 +44,19 @@ from slam_sensor_fusion_tpu.ops.voxel_map import (
 Array = jax.Array
 
 
+_OWNER_MULT = np.uint32(0x9E3779B1)  # distinct odd mix from _HASH_MULT
+
+
 def _owner(key: Array, n_shards: int) -> Array:
     """Shard owning a packed cell id (pure function of the id).
 
-    Uses the high bits of the multiplicative hash so it stays decorrelated
-    from ops/voxel_map._probe_slot's slot choice (which consumes different
-    bits of the same mix) — correlated hashes would skew per-shard table
-    occupancy.
+    Mixes with a constant DIFFERENT from ops/voxel_map._HASH_MULT so the
+    ownership choice stays decorrelated from _probe_slot's slot choice —
+    sharing the mix would partially correlate shard and slot bits and
+    skew per-shard table occupancy (n_dropped remains the backstop).
     """
     return (
-        ((key.astype(jnp.uint32) * _HASH_MULT) >> jnp.uint32(20))
+        ((key.astype(jnp.uint32) * _OWNER_MULT) >> jnp.uint32(20))
         % jnp.uint32(n_shards)
     ).astype(jnp.int32)
 

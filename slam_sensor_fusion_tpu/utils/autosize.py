@@ -167,6 +167,15 @@ def suggest_voxel_map_config(
 
     def cells(pts):
         ijk = np.floor((pts - origin) / voxel_size).astype(np.int64)
+        # loud failure on packing overflow: a caller-passed origin above
+        # the sample min (negative ijk) or >2^21-cell extents would make
+        # packed ids collide and silently undersize the capacities
+        if ijk.min() < 0 or ijk.max() >= (1 << 21):
+            raise ValueError(
+                "sample cells out of packable range [0, 2^21): "
+                f"ijk min {ijk.min(axis=0)}, max {ijk.max(axis=0)} "
+                "(is the passed origin above the sample min?)"
+            )
         return (ijk[:, 0] << 42) + (ijk[:, 1] << 21) + ijk[:, 2]
 
     g = max(frames_per_insert, 1)
