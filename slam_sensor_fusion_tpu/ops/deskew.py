@@ -88,3 +88,70 @@ def deskew(
         + (s * B)[:, None] * kkr[None, :]
     )
     return Rp + t
+
+
+# ---------------------------------------------------------------------------
+# Host-side (NumPy) twins — for loaders/benches that stage deskewed
+# scans on the host (the reference's upstream LIO publishes DESKEWED
+# registered clouds, /cloud_registered_body — localization_node.cpp:80 —
+# so feeding the localization product deskewed scans is parity-faithful).
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402  (host twins only)
+
+
+def se3_log_numpy(T: np.ndarray) -> np.ndarray:
+    """Host twin of `se3_log` for one (4, 4) transform (float64)."""
+    T = np.asarray(T, np.float64)
+    R = T[:3, :3]
+    cos_t = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = float(np.arccos(cos_t))
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    if theta < 1e-8:
+        phi = 0.5 * w
+    else:
+        phi = (theta / (2.0 * np.sin(theta))) * w
+    K = np.array([
+        [0.0, -phi[2], phi[1]],
+        [phi[2], 0.0, -phi[0]],
+        [-phi[1], phi[0], 0.0],
+    ])
+    theta2 = float(phi @ phi)
+    if theta2 > 1e-12:
+        th = np.sqrt(theta2)
+        a = (1.0 - th * np.sin(th) / (2.0 * (1.0 - np.cos(th)))) / theta2
+    else:
+        a = 1.0 / 12.0
+    V_inv = np.eye(3) - 0.5 * K + a * (K @ K)
+    rho = V_inv @ T[:3, 3]
+    return np.concatenate([rho, phi])
+
+
+def deskew_numpy(
+    points: np.ndarray, tau: np.ndarray, frame_twist: np.ndarray
+) -> np.ndarray:
+    """Host twin of `deskew` (same fixed-axis Rodrigues form)."""
+    points = np.asarray(points, np.float64)
+    tau = np.asarray(tau, np.float64)
+    xi = np.asarray(frame_twist, np.float64)
+    rho0, phi0 = xi[:3], xi[3:]
+    th0 = np.sqrt(max(float(phi0 @ phi0), 1e-24))
+    k = phi0 / th0
+    s = tau - 1.0
+    th = s * th0
+    sin, cos = np.sin(th), np.cos(th)
+    small = np.abs(th) < 1e-4
+    d = np.where(small, 1.0, th)
+    A = np.where(small, 0.5 * th, (1.0 - cos) / d)
+    B = np.where(small, th * th / 6.0, (th - sin) / d)
+    kxp = np.cross(k[None, :], points)
+    kkp = np.cross(k[None, :], kxp)
+    Rp = points + sin[:, None] * kxp + (1.0 - cos)[:, None] * kkp
+    kxr = np.cross(k, rho0)
+    kkr = np.cross(k, kxr)
+    t = (
+        s[:, None] * rho0[None, :]
+        + (s * A)[:, None] * kxr[None, :]
+        + (s * B)[:, None] * kkr[None, :]
+    )
+    return (Rp + t).astype(np.float32)

@@ -71,6 +71,28 @@ def test_deskew_matches_per_point_exp(rng):
     np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
+def test_deskew_numpy_twins_match_device(rng):
+    """Host-side se3_log_numpy/deskew_numpy == the jitted device forms
+    (the bench stages deskewed scans on the host for the localization
+    product's upstream-LIO input contract)."""
+    from slam_sensor_fusion_tpu.ops.deskew import deskew_numpy, se3_log_numpy
+
+    xi = np.array([0.3, -0.2, 0.05, 0.04, -0.02, 0.3], np.float32)
+    T = np.asarray(geometry.se3_exp(jnp.asarray(xi)))
+    np.testing.assert_allclose(se3_log_numpy(T), xi, atol=1e-5)
+    # tiny-rotation branch
+    xi_small = np.array([0.1, 0.05, -0.02, 1e-6, -2e-6, 1e-6], np.float32)
+    T_small = np.asarray(geometry.se3_exp(jnp.asarray(xi_small)))
+    np.testing.assert_allclose(se3_log_numpy(T_small), xi_small, atol=3e-6)
+
+    pts = rng.uniform(-10, 10, (777, 3)).astype(np.float32)
+    tau = rng.uniform(0, 1, 777).astype(np.float32)
+    tau[:10] = 1.0
+    want = np.asarray(deskew(jnp.asarray(pts), jnp.asarray(tau), jnp.asarray(xi)))
+    got = deskew_numpy(pts, tau, xi)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_lio_tracks_trajectory(rng):
     n_frames = 12
     world = syn.make_world(rng, extent=60.0, n_buildings=20, n_poles=50,

@@ -67,6 +67,66 @@ def test_localizer_session_matches_batch_replay():
     np.testing.assert_allclose(poses[15], poses[14], atol=0)
 
 
+def test_block_session_matches_batch_replay():
+    """BlockLocalizerSession (K-frame dispatch-amortized pushes) must
+    reproduce the batch replay driven in K-frame chunks EXACTLY — both
+    run the same superblock program from the same state."""
+    import dataclasses
+
+    from slam_sensor_fusion_tpu.models.session import BlockLocalizerSession
+
+    seq, map_data = build_world_and_sequence(n_frames=24, seed=3)
+    K = 2
+    cfg = dataclasses.replace(
+        TEST_CONFIG,
+        block_kernel=True,
+        superblock_parity=True,
+        superstep=K,
+        icp=dataclasses.replace(TEST_CONFIG.icp, mode="parity"),
+    )
+
+    res = Localizer(map_data, cfg).run(
+        seq.scans,
+        seq.odom_T_sensor,
+        seq.gps_lat,
+        seq.gps_lon,
+        seq.gps_alt,
+        seq.compass_yaw,
+        seq.odom_cov_trace,
+        seq.gps_cov_trace,
+        chunk=K,
+    )
+
+    sess = BlockLocalizerSession(map_data, cfg, profile=True)
+    results = []
+    for i in range(len(seq.scans)):
+        outs = sess.push(
+            seq.scans[i],
+            seq.odom_T_sensor[i],
+            float(seq.gps_lat[i]),
+            float(seq.gps_lon[i]),
+            float(seq.gps_alt[i]),
+            float(seq.compass_yaw[i]),
+            float(seq.odom_cov_trace[i]),
+            float(seq.gps_cov_trace[i]),
+        )
+        results.extend(outs)
+    # frames still buffered at the end never flushed — drop their slots
+    n_out = len(results)
+    assert n_out >= len(seq.scans) - (K - 1)
+    assert results[0].phase == "init"
+    tracking = [r.phase == "tracking" for r in results]
+    assert sum(tracking) > 10
+    poses = np.stack([r.map_T_sensor for r in results])
+    sel = np.asarray(tracking) & res.valid[:n_out]
+    np.testing.assert_allclose(
+        poses[sel], res.map_T_sensor[:n_out][sel], atol=1e-6
+    )
+    # profile hook populated by the block flush path
+    assert sess.last_timing is not None
+    assert set(sess.last_timing) == {"host_ms", "dispatch_ms", "device_ms"}
+
+
 def test_lio_session_matches_chunk(rng):
     from test_lio import SMALL_LIO, pad_scan
     from slam_sensor_fusion_tpu.utils import synthetic as syn
