@@ -112,6 +112,7 @@ def bench_lio() -> dict:
             tile_tgt=int(os.environ.get("BENCH_LIO_TILE_TGT", "1024")),
             # >= the target tile count: pair lists complete by construction
             max_visits=int(os.environ.get("BENCH_LIO_MAX_VISITS", "64")),
+            assoc_unroll=int(os.environ.get("BENCH_LIO_UNROLL", "1")),
         ),
         # association work scales with scan x anchor density; register on
         # every 4th scan point / every 2nd anchor point (Morton-sorted =>
@@ -435,6 +436,9 @@ def bench_loc(
             tile_tgt=int(_env("BENCH_TILE_TGT", "512", ov)),
             max_visits=int(_env("BENCH_MAX_VISITS", "128", ov)),
             max_pairs_factor=int(_env("BENCH_PAIRS_FACTOR", "128", ov)),
+            # pair-loop trip unroll (bit-identical results; amortizes
+            # the ~4 us sequential-trip overhead — ARCHITECTURE §6b)
+            assoc_unroll=int(_env("BENCH_UNROLL", "1", ov)),
             gate_sub_src=(
                 int(os.environ["BENCH_GATE_SUB_SRC"])
                 if os.environ.get("BENCH_GATE_SUB_SRC") not in (None, "", "0")
@@ -1177,6 +1181,7 @@ def bench_kitti() -> dict:
             tile_src=int(os.environ.get("BENCH_LIO_TILE_SRC", "512")),
             tile_tgt=int(os.environ.get("BENCH_LIO_TILE_TGT", "1024")),
             max_visits=int(os.environ.get("BENCH_LIO_MAX_VISITS", "64")),
+            assoc_unroll=int(os.environ.get("BENCH_LIO_UNROLL", "1")),
         ),
         reg_subsample=reg_sub,
         anchor_subsample=2,

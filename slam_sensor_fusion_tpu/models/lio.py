@@ -111,6 +111,13 @@ class LIOConfig(NamedTuple):
     #: "cells" only: drop crease cells (lam_min >= ratio * lam_mid);
     #: None keeps every populated cell like the voxel estimator
     normal_planarity: float | None = None
+    #: scan masks are PACKED prefixes (the loader contract — every
+    #: staging path pads at the tail). Lets run_lio_superblocks sample
+    #: the ring insert by index arithmetic instead of compact()'s
+    #: full-capacity nonzero+gather, which was ~45% of block device
+    #: time at cap 32768 (ARCHITECTURE §6c). Set False for arbitrary
+    #: masks; selection semantics are identical either way.
+    packed_scans: bool = True
 
 
 class LIOState(NamedTuple):
@@ -695,20 +702,28 @@ def run_lio_superblocks(
         # 2) dead-reckoned predictions
         pred_R, pred_t = _dead_reckon(st.ekf_state, gy, ac, dt)
 
-        # 3) deskew with the dead-reckoned between-frame twists
+        # 3) deskew twists from the dead-reckoned between-frame motion.
+        # Deskew is PER-POINT, so it runs after subset selection
+        # (select-then-deskew == deskew-then-select): only the ::rsub
+        # registration rows and the ring-insert sample are ever
+        # corrected, never the full capacity — the old full-width
+        # compact+deskew epilogue was ~45% of block device time at cap
+        # 32768 (the compact's nonzero+gather, ARCHITECTURE §6c).
+        xi = None
         if tau is not None:
             prev_R = jnp.concatenate([st.ekf_state.R[None], pred_R[:-1]])
             prev_t = jnp.concatenate([st.ekf_state.p[None], pred_t[:-1]])
             rel_R = jnp.einsum("kji,kjl->kil", prev_R, pred_R)
             rel_t = jnp.einsum("kji,kj->ki", prev_R, pred_t - prev_t)
             xi = se3_log(geometry.make_T(rel_R, rel_t))  # (R, 6)
-            sp = jax.vmap(deskew)(sp, tau, xi)
 
         # 4) pair prologue: registration on every rsub-th point of the
         # (Morton-pre-sorted) scan; FINE sub-box gating against the
         # cache's sub-boxes so ragged Morton tiles don't admit the world
         rp = sp[:, ::rsub]
         rm = sm[:, ::rsub]
+        if xi is not None:
+            rp = jax.vmap(deskew)(rp, tau[:, ::rsub], xi)
         src_pages = jax.vmap(
             lambda p, m: make_pages(p, m, jnp.zeros(3), TM, sentinel=1.0e7)
         )(rp, rm)
@@ -746,33 +761,67 @@ def run_lio_superblocks(
             interpret=interpret,
         )
 
-        # 6) batched ring inserts
-        sampled = jax.vmap(
-            lambda c: cl.sample_to_capacity(c, config.slot_points)
-        )(cl.Cloud(sp, sm))
+        # 6) batched ring inserts. Sample indices come from the mask
+        # alone, so the gather runs on the RAW scan at slot width and
+        # the deskew only touches the sampled rows (see step 3).
+        if config.packed_scans:
+            ridx, smask = cl.packed_sample_indices(sm, config.slot_points)
+            spts = jnp.take_along_axis(sp, ridx[..., None], axis=1)
+            if xi is not None:
+                rtau = jnp.take_along_axis(tau, ridx, axis=1)
+                spts = jax.vmap(deskew)(spts, rtau, xi)
+            sampled = cl.Cloud(spts, smask)
+        else:
+            # arbitrary masks: the generic compact path (full-capacity
+            # nonzero+gather — measured slow, kept for correctness)
+            if xi is not None:
+                sp_full = jax.vmap(deskew)(sp, tau, xi)
+            else:
+                sp_full = sp
+            sampled = jax.vmap(
+                lambda c: cl.sample_to_capacity(c, config.slot_points)
+            )(cl.Cloud(sp_full, sm))
         world = (
             jnp.einsum("kij,knj->kni", poses[:, :3, :3], sampled.points)
             + poses[:, None, :3, 3]
         )
 
-        def ins(i, rc):
-            ring, ring_mask = rc
-            off = ((st.slot + i) % config.window) * config.slot_points
-            cur_p = jax.lax.dynamic_slice(
-                ring, (off, 0), (config.slot_points, 3)
-            )
-            cur_m = jax.lax.dynamic_slice(
-                ring_mask, (off,), (config.slot_points,)
-            )
-            new_p = jnp.where(vld[i], world[i], cur_p)
-            new_m = jnp.where(vld[i], sampled.mask[i], cur_m)
-            ring = jax.lax.dynamic_update_slice(ring, new_p, (off, 0))
-            ring_mask = jax.lax.dynamic_update_slice(ring_mask, new_m, (off,))
-            return ring, ring_mask
+        SP = config.slot_points
+        if R <= config.window:
+            # the R block slots are consecutive (mod window) and
+            # distinct: rotate the ring so the write window starts at
+            # row 0, merge with one static-width select, rotate back —
+            # replaces R sequential dynamic_update_slice round trips
+            off0 = (st.slot % config.window) * SP
+            rolled_p = jnp.roll(st.ring, -off0, axis=0)
+            rolled_m = jnp.roll(st.ring_mask, -off0, axis=0)
+            cur_p = rolled_p[: R * SP].reshape(R, SP, 3)
+            cur_m = rolled_m[: R * SP].reshape(R, SP)
+            new_p = jnp.where(vld[:, None, None], world, cur_p)
+            new_m = jnp.where(vld[:, None], sampled.mask, cur_m)
+            rolled_p = rolled_p.at[: R * SP].set(new_p.reshape(R * SP, 3))
+            rolled_m = rolled_m.at[: R * SP].set(new_m.reshape(R * SP))
+            ring = jnp.roll(rolled_p, off0, axis=0)
+            ring_mask = jnp.roll(rolled_m, off0, axis=0)
+        else:
+            # R > window: later frames overwrite earlier slots — keep
+            # the sequential order-preserving loop
+            def ins(i, rc):
+                ring, ring_mask = rc
+                off = ((st.slot + i) % config.window) * SP
+                cur_p = jax.lax.dynamic_slice(ring, (off, 0), (SP, 3))
+                cur_m = jax.lax.dynamic_slice(ring_mask, (off,), (SP,))
+                new_p = jnp.where(vld[i], world[i], cur_p)
+                new_m = jnp.where(vld[i], sampled.mask[i], cur_m)
+                ring = jax.lax.dynamic_update_slice(ring, new_p, (off, 0))
+                ring_mask = jax.lax.dynamic_update_slice(
+                    ring_mask, new_m, (off,)
+                )
+                return ring, ring_mask
 
-        ring, ring_mask = jax.lax.fori_loop(
-            0, R, ins, (st.ring, st.ring_mask)
-        )
+            ring, ring_mask = jax.lax.fori_loop(
+                0, R, ins, (st.ring, st.ring_mask)
+            )
         nv = jnp.sum(vld.astype(jnp.int32))
         new_state = LIOState(
             ekf_state=ekf.EKFState(

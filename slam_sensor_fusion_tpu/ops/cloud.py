@@ -185,6 +185,37 @@ def sample_to_capacity(cloud: Cloud, out_capacity: int) -> Cloud:
     return Cloud(pts, mask)
 
 
+def packed_sample_indices(
+    mask: Array, out_capacity: int
+) -> tuple[Array, Array]:
+    """`sample_to_capacity`'s selection for PACKED masks, as indices.
+
+    When the valid rows form a prefix (the loader contract for
+    Morton-pre-sorted scans), `compact` is the identity — but its
+    `nonzero` + full-capacity gather still execute, and on v5e that
+    gather was measured at ~45% of the LIO superblock's device time
+    (ARCHITECTURE §6c). This returns the even-stride sample indices
+    (plus the output mask) directly from the mask count, letting callers
+    gather ONLY `out_capacity` rows — and gather from the RAW scan
+    before per-point work (select-then-deskew == deskew-then-select).
+
+    Exactly `sample_to_capacity`'s selection on packed clouds: same
+    `(i * n) // cap` stride, same duplicate kill, same empty handling.
+    """
+    n = jnp.sum(mask.astype(jnp.int32), axis=-1)  # (...,)
+    i = jnp.arange(out_capacity)
+    idx = (i * n[..., None]) // out_capacity
+    dup = jnp.concatenate(
+        [
+            jnp.zeros(idx.shape[:-1] + (1,), bool),
+            idx[..., 1:] == idx[..., :-1],
+        ],
+        axis=-1,
+    )
+    out_mask = (idx < n[..., None]) & ~dup
+    return idx, out_mask
+
+
 def masked_points(cloud: Cloud, fill: float = jnp.inf) -> Array:
     """Points with invalid rows replaced by ``fill`` (for NN targets)."""
     return jnp.where(cloud.mask[:, None], cloud.points, fill)

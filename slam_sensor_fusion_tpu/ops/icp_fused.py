@@ -174,6 +174,8 @@ def _make_fused_kernel(
             is BETTER conditioned: no |t|^2 - 2ts + |s|^2 cancellation).
             """
 
+            U = max(int(config.assoc_unroll), 1)
+
             def tile_body(i, _):
                 sp = src_pages_ref[i]  # (3, TM)
                 spx, spy, spz = sp[0:1], sp[1:2], sp[2:3]
@@ -182,40 +184,48 @@ def _make_fused_kernel(
                 sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
                 start = pair_start_ref[i]
                 cnt = pair_cnt_ref[i]
+                last = start + cnt - 1
 
                 def inner(q, carry):
-                    bmin, bx, by, bz = carry
-                    j = pair_tgt_ref[start + q]
-                    tt = tgt_pages_ref[j]  # (3, TN)
-                    txc = tt[0].reshape(tile_tgt, 1)
-                    tyc = tt[1].reshape(tile_tgt, 1)
-                    tzc = tt[2].reshape(tile_tgt, 1)
-                    dx = txc - sx  # (TN, TM)
-                    dy = tyc - sy
-                    dz = tzc - sz
-                    d2 = dx * dx + dy * dy + dz * dz
-                    tile_min = jnp.min(d2, axis=0, keepdims=True)
-                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_tgt, tile_src), 0
-                    )
-                    onehot = (rows == arg).astype(jnp.float32)
-                    coords = jax.lax.dot_general(
-                        tt, onehot, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    better = tile_min < bmin
-                    return (
-                        jnp.where(better, tile_min, bmin),
-                        jnp.where(better, coords[0:1], bx),
-                        jnp.where(better, coords[1:2], by),
-                        jnp.where(better, coords[2:3], bz),
-                    )
+                    # U tiles per trip amortize the ~4 us trip overhead;
+                    # tail lanes clamp to the run's last tile — a no-op
+                    # under the strict `<` winner (bit-identical)
+                    base = start + q * U
+                    for u in range(U):
+                        bmin, bx, by, bz = carry
+                        j = pair_tgt_ref[jnp.minimum(base + u, last)]
+                        tt = tgt_pages_ref[j]  # (3, TN)
+                        txc = tt[0].reshape(tile_tgt, 1)
+                        tyc = tt[1].reshape(tile_tgt, 1)
+                        tzc = tt[2].reshape(tile_tgt, 1)
+                        dx = txc - sx  # (TN, TM)
+                        dy = tyc - sy
+                        dz = tzc - sz
+                        d2 = dx * dx + dy * dy + dz * dz
+                        tile_min = jnp.min(d2, axis=0, keepdims=True)
+                        arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (tile_tgt, tile_src), 0
+                        )
+                        onehot = (rows == arg).astype(jnp.float32)
+                        coords = jax.lax.dot_general(
+                            tt, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        better = tile_min < bmin
+                        carry = (
+                            jnp.where(better, tile_min, bmin),
+                            jnp.where(better, coords[0:1], bx),
+                            jnp.where(better, coords[1:2], by),
+                            jnp.where(better, coords[2:3], bz),
+                        )
+                    return carry
 
                 big = jnp.full((1, tile_src), _BIG)
                 zero = jnp.zeros((1, tile_src), jnp.float32)
+                trips = (cnt + U - 1) // U
                 bmin, bx, by, bz = jax.lax.fori_loop(
-                    0, cnt, inner, (big, zero, zero, zero)
+                    0, trips, inner, (big, zero, zero, zero)
                 )
                 best_d2_ref[i] = bmin
                 best_xyz_ref[i] = jnp.concatenate([bx, by, bz], axis=0)

@@ -271,7 +271,13 @@ def _make_lio_superblock_kernel(
         # cost analysis vs the per-pair K=3 f32 matmul) ----
         nSt_s = best_d2_ref.shape[0]
 
+        U = max(int(p2p.assoc_unroll), 1)
+
         def associate(k, R, t):
+            # `assoc_unroll` target tiles per sequential trip amortize
+            # the ~4 us/trip scalar-loop overhead (ARCHITECTURE §6b);
+            # tail lanes clamp to the run's last tile — a no-op under
+            # the strict `<` winner, so results are bit-identical.
             def tile_body(i, _):
                 sp = src_pages_ref[k, i]  # (3, TM)
                 spx, spy, spz = sp[0:1], sp[1:2], sp[2:3]
@@ -280,37 +286,42 @@ def _make_lio_superblock_kernel(
                 sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
                 start = pair_start_ref[k, i]
                 cnt = pair_cnt_ref[k, i]
+                last = start + cnt - 1
 
                 def inner(q, carry):
-                    bmin, bqn = carry
-                    j = pair_tgt_ref[k, start + q]
-                    tq = tgt_pages_ref[j]  # (6, TN)
-                    txc = tq[0].reshape(tile_tgt, 1)
-                    tyc = tq[1].reshape(tile_tgt, 1)
-                    tzc = tq[2].reshape(tile_tgt, 1)
-                    dx = txc - sx  # (TN, TM)
-                    dy = tyc - sy
-                    dz = tzc - sz
-                    d2 = dx * dx + dy * dy + dz * dz
-                    tile_min = jnp.min(d2, axis=0, keepdims=True)
-                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_tgt, tile_src), 0
-                    )
-                    onehot = (rows == arg).astype(jnp.float32)
-                    qn = jax.lax.dot_general(
-                        tq, onehot, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (6, TM): matched point + its normal
-                    better = tile_min < bmin
-                    return (
-                        jnp.where(better, tile_min, bmin),
-                        jnp.where(better, qn, bqn),
-                    )
+                    base = start + q * U
+                    for u in range(U):
+                        bmin, bqn = carry
+                        j = pair_tgt_ref[k, jnp.minimum(base + u, last)]
+                        tq = tgt_pages_ref[j]  # (6, TN)
+                        txc = tq[0].reshape(tile_tgt, 1)
+                        tyc = tq[1].reshape(tile_tgt, 1)
+                        tzc = tq[2].reshape(tile_tgt, 1)
+                        dx = txc - sx  # (TN, TM)
+                        dy = tyc - sy
+                        dz = tzc - sz
+                        d2 = dx * dx + dy * dy + dz * dz
+                        tile_min = jnp.min(d2, axis=0, keepdims=True)
+                        arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (tile_tgt, tile_src), 0
+                        )
+                        onehot = (rows == arg).astype(jnp.float32)
+                        qn = jax.lax.dot_general(
+                            tq, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (6, TM): matched point + its normal
+                        better = tile_min < bmin
+                        carry = (
+                            jnp.where(better, tile_min, bmin),
+                            jnp.where(better, qn, bqn),
+                        )
+                    return carry
 
                 big = jnp.full((1, tile_src), _BIG)
                 zero6 = jnp.zeros((6, tile_src), jnp.float32)
-                bmin, bqn = jax.lax.fori_loop(0, cnt, inner, (big, zero6))
+                trips = (cnt + U - 1) // U
+                bmin, bqn = jax.lax.fori_loop(0, trips, inner, (big, zero6))
                 best_d2_ref[i] = bmin
                 best_qn_ref[i] = bqn
                 return 0

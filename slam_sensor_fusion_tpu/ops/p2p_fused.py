@@ -137,6 +137,7 @@ def _build_associate(
     tgt_pages_ref,
     best_d2_ref,
     best_qn_ref,
+    unroll: int = 1,
 ):
     """Return `associate(R, t)` writing per-point winners into the best
     refs (scratch in the fused kernel, outputs in the assoc-only kernel).
@@ -146,7 +147,13 @@ def _build_associate(
     for the cost analysis vs the per-pair K=3 f32 matmul formulation."""
     nSt_s = best_d2_ref.shape[0]
 
+    U = max(int(unroll), 1)
+
     def associate(R, t):
+        # `unroll` target tiles per sequential trip amortize the
+        # ~4 us/trip scalar-loop overhead (ARCHITECTURE §6b); tail
+        # lanes clamp to the run's last tile — a no-op under the
+        # strict `<` winner, so results are bit-identical for any U.
         def tile_body(i, _):
             sp = src_pages_ref[i]  # (3, TM)
             spx, spy, spz = sp[0:1], sp[1:2], sp[2:3]
@@ -155,37 +162,42 @@ def _build_associate(
             sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
             start = pair_start_ref[i]
             cnt = pair_cnt_ref[i]
+            last = start + cnt - 1
 
             def inner(q, carry):
-                bmin, bqn = carry
-                j = pair_tgt_ref[start + q]
-                tq = tgt_pages_ref[j]  # (6, TN)
-                txc = tq[0].reshape(tile_tgt, 1)
-                tyc = tq[1].reshape(tile_tgt, 1)
-                tzc = tq[2].reshape(tile_tgt, 1)
-                dx = txc - sx  # (TN, TM)
-                dy = tyc - sy
-                dz = tzc - sz
-                d2 = dx * dx + dy * dy + dz * dz
-                tile_min = jnp.min(d2, axis=0, keepdims=True)
-                arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_tgt, tile_src), 0
-                )
-                onehot = (rows == arg).astype(jnp.float32)
-                qn = jax.lax.dot_general(
-                    tq, onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (6, TM): matched point + its normal
-                better = tile_min < bmin
-                return (
-                    jnp.where(better, tile_min, bmin),
-                    jnp.where(better, qn, bqn),
-                )
+                base = start + q * U
+                for u in range(U):
+                    bmin, bqn = carry
+                    j = pair_tgt_ref[jnp.minimum(base + u, last)]
+                    tq = tgt_pages_ref[j]  # (6, TN)
+                    txc = tq[0].reshape(tile_tgt, 1)
+                    tyc = tq[1].reshape(tile_tgt, 1)
+                    tzc = tq[2].reshape(tile_tgt, 1)
+                    dx = txc - sx  # (TN, TM)
+                    dy = tyc - sy
+                    dz = tzc - sz
+                    d2 = dx * dx + dy * dy + dz * dz
+                    tile_min = jnp.min(d2, axis=0, keepdims=True)
+                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_tgt, tile_src), 0
+                    )
+                    onehot = (rows == arg).astype(jnp.float32)
+                    qn = jax.lax.dot_general(
+                        tq, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (6, TM): matched point + its normal
+                    better = tile_min < bmin
+                    carry = (
+                        jnp.where(better, tile_min, bmin),
+                        jnp.where(better, qn, bqn),
+                    )
+                return carry
 
             big = jnp.full((1, tile_src), _BIG)
             zero6 = jnp.zeros((6, tile_src), jnp.float32)
-            bmin, bqn = jax.lax.fori_loop(0, cnt, inner, (big, zero6))
+            trips = (cnt + U - 1) // U
+            bmin, bqn = jax.lax.fori_loop(0, trips, inner, (big, zero6))
             best_d2_ref[i] = bmin
             best_qn_ref[i] = bqn
             return 0
@@ -213,6 +225,7 @@ def _make_p2p_kernel(tile_src: int, tile_tgt: int, config: PointToPlaneConfig):
         associate = _build_associate(
             tile_src, tile_tgt, pair_start_ref, pair_cnt_ref, pair_tgt_ref,
             src_pages_ref, tgt_pages_ref, best_d2_ref, best_qn_ref,
+            unroll=config.assoc_unroll,
         )
         gn_moments = _build_gn_moments(
             config, src_pages_ref, best_d2_ref, best_qn_ref, associate
@@ -494,7 +507,7 @@ def _result_from_kernel_outputs(
     )
 
 
-def _make_assoc_kernel(tile_src: int, tile_tgt: int):
+def _make_assoc_kernel(tile_src: int, tile_tgt: int, unroll: int = 1):
     """Association-only kernel: ONE pass at the prior, winners written to
     the output refs. The map-sharded (`sp`) registration path runs this
     per device over its local map shard (parallel/map_shard.py)."""
@@ -512,6 +525,7 @@ def _make_assoc_kernel(tile_src: int, tile_tgt: int):
         associate = _build_associate(
             tile_src, tile_tgt, pair_start_ref, pair_cnt_ref, pair_tgt_ref,
             src_pages_ref, tgt_pages_ref, d2_out_ref, qn_out_ref,
+            unroll=unroll,
         )
         R0, t0 = _read_T0_scalars(T0_ref)
         associate(R0, t0)
@@ -579,7 +593,7 @@ def associate_p2p_fused(
     unshift = geometry.make_T(eye3, -cached.center)
 
     d2, qn = pl.pallas_call(
-        _make_assoc_kernel(TM, TN),
+        _make_assoc_kernel(TM, TN, unroll=config.assoc_unroll),
         grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

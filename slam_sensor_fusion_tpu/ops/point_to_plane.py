@@ -68,6 +68,10 @@ class PointToPlaneConfig(NamedTuple):
     #: dominates kernel time; with an IMU prior the correspondences
     #: barely change between iterations)
     fixed_correspondences: bool = False
+    #: admitted target tiles per sequential pair-loop trip in the fused
+    #: kernels (see ICPConfig.assoc_unroll — amortizes the ~4 us/trip
+    #: scalar-loop overhead; results bit-identical for any value)
+    assoc_unroll: int = 1
 
 
 class PointToPlaneResult(NamedTuple):

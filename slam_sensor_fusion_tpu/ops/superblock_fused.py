@@ -159,12 +159,18 @@ def _make_superblock_kernel(
         cx = jnp.stack([center_ref[0], center_ref[1], center_ref[2]])
         nSt_s = best_d2_ref.shape[0]
 
+        U = max(int(icp_cfg.assoc_unroll), 1)
+
         def associate(k, R, t):
             """icp_fused's tile-major association for frame k's list:
             outer loop over src tiles, inner loop over each tile's
             admitted target run, running best in registers, direct
             (tx-sx)^2 VPU broadcast distances (see ops/icp_fused.py
             associate for the cost analysis vs the per-pair K=3 matmul).
+            `assoc_unroll` target tiles per trip amortize the ~4 us
+            scalar-loop overhead per sequential trip (§6b's ceiling);
+            tail lanes clamp to the run's last tile, which the strict
+            `<` winner makes a no-op — bit-identical for any unroll.
             """
 
             def tile_body(i, _):
@@ -175,40 +181,45 @@ def _make_superblock_kernel(
                 sz = R[2, 0] * spx + R[2, 1] * spy + R[2, 2] * spz + t[2]
                 start = pair_start_ref[k, i]
                 cnt = pair_cnt_ref[k, i]
+                last = start + cnt - 1
 
                 def inner(q, carry):
-                    bmin, bx, by, bz = carry
-                    j = pair_tgt_ref[k, start + q]
-                    tt = tgt_pages_ref[j]  # (3, TN)
-                    txc = tt[0].reshape(tile_tgt, 1)
-                    tyc = tt[1].reshape(tile_tgt, 1)
-                    tzc = tt[2].reshape(tile_tgt, 1)
-                    dx = txc - sx  # (TN, TM)
-                    dy = tyc - sy
-                    dz = tzc - sz
-                    d2 = dx * dx + dy * dy + dz * dz
-                    tile_min = jnp.min(d2, axis=0, keepdims=True)
-                    arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_tgt, tile_src), 0
-                    )
-                    onehot = (rows == arg).astype(jnp.float32)
-                    coords = jax.lax.dot_general(
-                        tt, onehot, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    better = tile_min < bmin
-                    return (
-                        jnp.where(better, tile_min, bmin),
-                        jnp.where(better, coords[0:1], bx),
-                        jnp.where(better, coords[1:2], by),
-                        jnp.where(better, coords[2:3], bz),
-                    )
+                    base = start + q * U
+                    for u in range(U):
+                        bmin, bx, by, bz = carry
+                        j = pair_tgt_ref[k, jnp.minimum(base + u, last)]
+                        tt = tgt_pages_ref[j]  # (3, TN)
+                        txc = tt[0].reshape(tile_tgt, 1)
+                        tyc = tt[1].reshape(tile_tgt, 1)
+                        tzc = tt[2].reshape(tile_tgt, 1)
+                        dx = txc - sx  # (TN, TM)
+                        dy = tyc - sy
+                        dz = tzc - sz
+                        d2 = dx * dx + dy * dy + dz * dz
+                        tile_min = jnp.min(d2, axis=0, keepdims=True)
+                        arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (tile_tgt, tile_src), 0
+                        )
+                        onehot = (rows == arg).astype(jnp.float32)
+                        coords = jax.lax.dot_general(
+                            tt, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        better = tile_min < bmin
+                        carry = (
+                            jnp.where(better, tile_min, bmin),
+                            jnp.where(better, coords[0:1], bx),
+                            jnp.where(better, coords[1:2], by),
+                            jnp.where(better, coords[2:3], bz),
+                        )
+                    return carry
 
                 big = jnp.full((1, tile_src), _BIG)
                 zero = jnp.zeros((1, tile_src), jnp.float32)
+                trips = (cnt + U - 1) // U
                 bmin, bx, by, bz = jax.lax.fori_loop(
-                    0, cnt, inner, (big, zero, zero, zero)
+                    0, trips, inner, (big, zero, zero, zero)
                 )
                 best_d2_ref[i] = bmin
                 best_xyz_ref[i] = jnp.concatenate([bx, by, bz], axis=0)

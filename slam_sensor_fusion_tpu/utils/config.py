@@ -74,6 +74,13 @@ class ICPConfig:
     reassoc_margin: float = 0.5
     #: allow the pallas path in interpret mode off-TPU (tests only)
     pallas_interpret: bool = False
+    #: admitted target tiles processed per sequential pair-loop trip in
+    #: the fused kernels. The ~4 us/trip scalar-loop overhead — not VPU
+    #: arithmetic — is the association ceiling (ARCHITECTURE §6b);
+    #: unrolling amortizes it over U fatter bodies. Tail lanes clamp to
+    #: the run's last tile (idempotent under the strict-min winner), so
+    #: results are bit-identical for any U.
+    assoc_unroll: int = 1
     #: "parity" = the reference's exact lazy-re-association control flow
     #: (ops/icp.py); "fast" = fresh-correspondence whole-ICP fused kernel
     #: (ops/icp_fused.py) — the native performance mode

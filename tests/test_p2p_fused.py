@@ -136,3 +136,32 @@ def test_fused_fixed_correspondences_converges(rng):
     )
     np.testing.assert_allclose(np.asarray(r.transformation), T_true, atol=1e-2)
     assert float(r.rmse) < 0.03
+
+
+def test_fused_assoc_unroll_bit_identical(rng):
+    """assoc_unroll=2/4 must be BIT-identical to the U=1 loop: tail
+    lanes clamp to the run's last tile, a no-op under the strict-min
+    winner (the unroll only amortizes sequential trip overhead)."""
+    s, sm, t, tm, normals, nvalid, T_true = _setup(rng)
+    base = PointToPlaneConfig(
+        nn_backend="fused", tile_src=256, tile_tgt=512
+    )
+    cached = build_cached_p2p_target(
+        jnp.asarray(t), jnp.asarray(tm), normals, nvalid,
+        jnp.zeros(3, jnp.float32), base.tile_tgt,
+    )
+    r1 = point_to_plane_align_fused(
+        jnp.asarray(s), jnp.asarray(sm), cached, jnp.eye(4), base,
+        interpret=True,
+    )
+    for U in (2, 4):
+        cfg = base._replace(assoc_unroll=U)
+        rU = point_to_plane_align_fused(
+            jnp.asarray(s), jnp.asarray(sm), cached, jnp.eye(4), cfg,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rU.transformation), np.asarray(r1.transformation)
+        )
+        assert int(rU.n_correspondences) == int(r1.n_correspondences)
+        assert float(rU.rmse) == float(r1.rmse)

@@ -109,3 +109,33 @@ def test_block_kernel_matches_per_frame_scan_parity_mode():
     np.testing.assert_allclose(
         fin_b.map_T_sensor, fin_a.map_T_sensor, atol=3e-4
     )
+
+
+def test_block_kernel_assoc_unroll_bit_identical():
+    """assoc_unroll inside the superblock kernel is BIT-identical to the
+    U=1 loop (tail lanes clamp to the run's last tile — a strict-min
+    no-op); it only amortizes sequential pair-trip overhead."""
+    n = 9
+    seq, map_data = build_world_and_sequence(n_frames=n, seed=7)
+    cfg1 = dataclasses.replace(FAST_CONFIG, block_kernel=True)
+    loc = Localizer(map_data, cfg1)
+    gps_T = loc.gps_poses(seq.gps_lat, seq.gps_lon, seq.compass_yaw)
+    frames = pf.build_paged_frames(
+        cfg1, seq.scans[1:], seq.odom_T_sensor[1:], gps_T[1:],
+        seq.odom_cov_trace[1:], seq.gps_cov_trace[1:], np.ones(n - 1, bool),
+    )
+    state = init_state(
+        cfg1, loc.map_cloud.capacity,
+        jnp.asarray(gps_T[0]), jnp.asarray(seq.odom_T_sensor[0], jnp.float32),
+    )
+    fin1, out1 = _run(cfg1, state, frames, loc.map_cloud)
+    for U in (2, 4):
+        cfgU = dataclasses.replace(
+            cfg1, icp=dataclasses.replace(cfg1.icp, assoc_unroll=U)
+        )
+        finU, outU = _run(cfgU, state, frames, loc.map_cloud)
+        np.testing.assert_array_equal(outU.map_T_sensor, out1.map_T_sensor)
+        np.testing.assert_array_equal(outU.icp_error, out1.icp_error)
+        np.testing.assert_array_equal(
+            outU.n_correspondences, out1.n_correspondences
+        )
