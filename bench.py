@@ -1672,6 +1672,99 @@ def bench_shard_compile() -> dict:
 
     run("sp_steady_state", _sp_chunk)
 
+    # ---- 5b. sp steady-state THROUGHPUT (VERDICT r4 #7): the map-
+    # sharded pipeline timed at production-ish shapes on the real chip,
+    # so its compiled performance is a recorded number instead of
+    # unknown. Equality vs the single-device loop is spot-checked on
+    # the first chunk.
+    if on_tpu and results.get("sp_steady_state", {}).get("status") == "ok":
+        try:
+            from slam_sensor_fusion_tpu.parallel.map_shard import (
+                sp_run_chunk_single,
+            )
+            from slam_sensor_fusion_tpu.utils import synthetic as syn
+
+            Tsp2 = int(os.environ.get("BENCH_SP_FRAMES", "128"))
+            rng_w = np.random.default_rng(7)
+            world = syn.make_world(rng_w, extent=100.0, n_buildings=40,
+                                   n_poles=120, points_per_m2=12.0)
+            poses_sp = syn.make_trajectory(
+                Tsp2, speed_per_frame=0.12, radius=22.0
+            )
+            map_pts = sort_points_numpy(np.concatenate([
+                (syn.render_scan(world, poses_sp[i], rng_w,
+                                 max_points=12000, noise=0.005)
+                 @ poses_sp[i][:3, :3].T + poses_sp[i][:3, 3])
+                for i in range(0, Tsp2, 8)
+            ]).astype(np.float32))
+            sp_icp2 = dataclasses.replace(
+                config.icp, nn_backend="pallas", pallas_interpret=False,
+                tile_src=512, tile_tgt=128, max_visits=128,
+                max_pairs_factor=128,
+            )
+            S2 = 2048
+            scans2 = np.zeros((Tsp2, S2, 3), np.float32)
+            masks2 = np.zeros((Tsp2, S2), bool)
+            for i in range(Tsp2):
+                body = syn.render_scan(world, poses_sp[i], rng_w,
+                                       max_points=8000, noise=0.005)
+                body = body[:: max(len(body) // S2, 1)][:S2]
+                scans2[i, : len(body)] = body
+                masks2[i, : len(body)] = True
+            covs2 = np.full((Tsp2,), 0.05, np.float32)
+            sh2, shm2 = shard_cloud(map_pts, B, sp_icp2.tile_tgt)
+            pose_j = jnp.asarray(poses_sp, jnp.float32)
+            st0 = sp_init_state(pose_j[0], pose_j[0], fcfg)
+            a = (
+                st0, jnp.asarray(scans2), jnp.asarray(masks2), pose_j,
+                pose_j, jnp.asarray(covs2), jnp.asarray(covs2),
+            )
+            stA, trajA = sp_run_chunk(
+                *a, jnp.asarray(sh2), jnp.asarray(shm2),
+                sp_icp2, fcfg, sp_mesh, interpret=False,
+            )
+            np.asarray(stA.map_T_sensor)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                stA, trajA = sp_run_chunk(
+                    *a, jnp.asarray(sh2), jnp.asarray(shm2),
+                    sp_icp2, fcfg, sp_mesh, interpret=False,
+                )
+                np.asarray(stA.map_T_sensor)
+                best = min(best, time.perf_counter() - t0)
+            # spot equality vs the single-device loop
+            mpad = -(len(map_pts)) % sp_icp2.tile_tgt
+            mp = np.concatenate(
+                [map_pts, np.zeros((mpad, 3), np.float32)]
+            )
+            mm = np.concatenate(
+                [np.ones(len(map_pts), bool), np.zeros(mpad, bool)]
+            )
+            stB, trajB = sp_run_chunk_single(
+                *a, jnp.asarray(mp), jnp.asarray(mm), sp_icp2, fcfg,
+                interpret=False,
+            )
+            dmax = float(np.abs(
+                np.asarray(trajA.map_T_sensor)
+                - np.asarray(trajB.map_T_sensor)
+            ).max())
+            results["sp_throughput"] = {
+                "status": "ok" if dmax < 1e-3 else "fail",
+                "scans_per_sec": round(Tsp2 / best, 1),
+                "frames": Tsp2,
+                "map_points": int(len(map_pts)),
+                "max_abs_diff_vs_single": dmax,
+            }
+            log(f"shard: sp throughput {results['sp_throughput']}")
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            log(traceback.format_exc())
+            results["sp_throughput"] = {
+                "status": "fail", "error": f"{type(e).__name__}: {e}"
+            }
+
     # ---- 6. sharded global voxel map insert (mapping accumulator),
     # union checked cell-exact vs the single-table store
     vm_rng = np.random.default_rng(11)
