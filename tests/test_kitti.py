@@ -150,14 +150,36 @@ def test_kitti_fixture_end_to_end_localization(tmp_path):
         root, n_frames=n_frames, max_points=6000, extent=60.0, seed=0
     )
     kseq = kitti.load_sequence(root, "00")
+    # the reference's localization node consumes the upstream LIO's
+    # DESKEWED registered clouds (/cloud_registered_body,
+    # localization_node.cpp:80); deskew with the GT twist standing in
+    # for the upstream motion estimate (bench_kitti_loc's contract)
+    from slam_sensor_fusion_tpu.ops.deskew import (
+        deskew_numpy,
+        se3_log_numpy,
+    )
+
+    scans = [kseq.scans[0]]
+    for i in range(1, len(kseq.scans)):
+        rel = (
+            np.linalg.inv(kseq.poses[i - 1].astype(np.float64))
+            @ kseq.poses[i].astype(np.float64)
+        )
+        scans.append(
+            deskew_numpy(
+                kseq.scans[i],
+                kitti.azimuth_taus(kseq.scans[i]),
+                se3_log_numpy(rel),
+            )
+        )
     seq = syn.make_sequence_from_scans(
-        kseq.scans, kseq.poses, gps_noise_m=0.3
+        scans, kseq.poses, gps_noise_m=0.3
     )
     tiles = [
         (s @ kseq.poses[i][:3, :3].T + kseq.poses[i][:3, 3]).astype(
             np.float32
         )
-        for i, s in enumerate(kseq.scans)
+        for i, s in enumerate(scans)
         if i % 2 == 0
     ]
     odom_pos, gps_rows = syn.make_mapping_logs(seq, standstill_frames=10)
@@ -186,10 +208,9 @@ def test_kitti_fixture_end_to_end_localization(tmp_path):
     d = res.map_T_sensor[res.valid, :3, 3] \
         - seq.true_map_T_sensor[res.valid, :3, 3]
     ate = float(np.sqrt((d ** 2).sum(axis=1).mean()))
-    # fixture scans carry REAL intra-sweep skew and the localization
-    # product does not deskew (the reference consumes pre-registered
-    # clouds, localization_node.cpp:80) — the bound absorbs that floor
-    assert ate < 0.2, ate
+    # deskew-fed scans (the upstream-LIO contract): the intra-sweep
+    # skew floor is gone, so the bound tightens vs the r4 test (0.2)
+    assert ate < 0.1, ate
     assert (res.n_correspondences[res.valid] > 500).mean() > 0.9
 
 
