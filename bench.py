@@ -1024,16 +1024,39 @@ def bench_map() -> dict:
         uniq_cap = min(batch * scan_cap, -(-int(worst * 1.5) // 4096) * 4096)
         log(f"map: unique cells/group <= {worst} -> unique_capacity {uniq_cap}")
 
-    cfg = VoxelMapConfig(
-        voxel_size=voxel,
-        table_size=1 << int(os.environ.get("BENCH_MAP_TABLE_LOG2", "21")),
-        max_probes=int(os.environ.get("BENCH_MAP_PROBES", "8")),
-        # straggler compaction scales with the grouped insert width
-        straggler_capacity=max(1024, batch * 512),
-        dim_xy=1024,
-        dim_z=128,
-        unique_capacity=uniq_cap,
-    )
+    # insert implementation: "sorted" (default) is the sort-merge store —
+    # measured v5e primitives: random claim/scatter rounds + nonzero
+    # compactions in the hash insert cost ~15 ms/group while the same
+    # merge as sort-shaped work is ~5 ms (see ops/voxel_map_sorted.py
+    # header for the numbers); "hash" keeps the open-addressing store
+    impl = os.environ.get("BENCH_MAP_IMPL", "sorted")
+    if impl == "sorted":
+        from slam_sensor_fusion_tpu.ops.voxel_map_sorted import (
+            SortedVoxelMapConfig,
+            sorted_voxel_map_init,
+            sorted_voxel_map_insert,
+        )
+
+        cfg = SortedVoxelMapConfig(
+            voxel_size=voxel,
+            capacity=1 << int(os.environ.get("BENCH_MAP_CAP_LOG2", "18")),
+            unique_capacity=uniq_cap,
+            dim_xy=1024,
+            dim_z=128,
+        )
+        insert_fn, init_fn = sorted_voxel_map_insert, sorted_voxel_map_init
+    else:
+        cfg = VoxelMapConfig(
+            voxel_size=voxel,
+            table_size=1 << int(os.environ.get("BENCH_MAP_TABLE_LOG2", "21")),
+            max_probes=int(os.environ.get("BENCH_MAP_PROBES", "8")),
+            # straggler compaction scales with the grouped insert width
+            straggler_capacity=max(1024, batch * 512),
+            dim_xy=1024,
+            dim_z=128,
+            unique_capacity=uniq_cap,
+        )
+        insert_fn, init_fn = voxel_map_insert, voxel_map_init
 
     sp = np.zeros((n_frames, scan_cap, 3), np.float32)
     sm = np.zeros((n_frames, scan_cap), bool)
@@ -1062,7 +1085,7 @@ def bench_map() -> dict:
             world_pts = jnp.einsum("bij,bnj->bni", T[:, :3, :3], fixed) \
                 + T[:, None, :3, 3]
             return (
-                voxel_map_insert(
+                insert_fn(
                     carry,
                     world_pts.reshape(-1, 3),
                     msk.reshape(-1),
@@ -1088,7 +1111,7 @@ def bench_map() -> dict:
                   poses.astype(np.float32))
     )
     n_frames = nb
-    init = voxel_map_init(cfg, origin)
+    init = init_fn(cfg, origin)
     log("map: compiling ...")
     t0 = time.perf_counter()
     st = run(init, frames)
@@ -1114,6 +1137,8 @@ def bench_map() -> dict:
         "unit": "scans/sec",
         "map_cells": n_cells,
         "voxel_m": voxel,
+        "impl": impl,
+        "group": batch,
     }
 
 

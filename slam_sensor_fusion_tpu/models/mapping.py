@@ -275,11 +275,24 @@ class StreamingMapper:
                 VoxelMapConfig,
                 voxel_map_init,
             )
+            from slam_sensor_fusion_tpu.ops.voxel_map_sorted import (
+                SortedVoxelMapConfig,
+                sorted_voxel_map_init,
+            )
 
             self._vm_config = device_config or VoxelMapConfig(
                 voxel_size=config.map_voxel_size
             )
-            self._vm_state = voxel_map_init(
+            # two device stores, same contract: pass a
+            # SortedVoxelMapConfig for the sort-merge array (faster on
+            # TPU — no random scatters/nonzero; see ops/voxel_map_sorted)
+            # or a VoxelMapConfig for the open-addressing hash table
+            init = (
+                sorted_voxel_map_init
+                if isinstance(self._vm_config, SortedVoxelMapConfig)
+                else voxel_map_init
+            )
+            self._vm_state = init(
                 self._vm_config, np.asarray(device_origin, np.float32)
             )
             self._vm_scan_cap = device_scan_capacity
@@ -325,7 +338,16 @@ class StreamingMapper:
         if not self._vm_pending:
             return
         from slam_sensor_fusion_tpu.ops.voxel_map import voxel_map_insert
+        from slam_sensor_fusion_tpu.ops.voxel_map_sorted import (
+            SortedVoxelMapConfig,
+            sorted_voxel_map_insert,
+        )
 
+        insert = (
+            sorted_voxel_map_insert
+            if isinstance(self._vm_config, SortedVoxelMapConfig)
+            else voxel_map_insert
+        )
         cap = self._vm_scan_cap * self._vm_group
         pts = np.concatenate(self._vm_pending)
         self._vm_pending = []
@@ -333,7 +355,7 @@ class StreamingMapper:
         buf[: len(pts)] = pts
         msk = np.zeros(cap, bool)
         msk[: len(pts)] = True
-        self._vm_state = voxel_map_insert(
+        self._vm_state = insert(
             self._vm_state, buf, msk, self._vm_config
         )
 
@@ -360,15 +382,24 @@ class StreamingMapper:
             from slam_sensor_fusion_tpu.ops.voxel_map import (
                 voxel_map_centroids_numpy,
             )
+            from slam_sensor_fusion_tpu.ops.voxel_map_sorted import (
+                SortedVoxelMapConfig,
+                sorted_voxel_map_centroids_numpy,
+            )
 
             if int(self._vm_state.n_dropped) or int(self._vm_state.n_oob):
                 raise ValueError(
                     "device voxel map overflowed: "
                     f"dropped={int(self._vm_state.n_dropped)} "
-                    f"oob={int(self._vm_state.n_oob)}; grow table_size/"
+                    f"oob={int(self._vm_state.n_oob)}; grow capacity/"
                     "extents or re-anchor the origin"
                 )
+            extract = (
+                sorted_voxel_map_centroids_numpy
+                if isinstance(self._vm_config, SortedVoxelMapConfig)
+                else voxel_map_centroids_numpy
+            )
             data = dataclasses.replace(
-                data, map_points=voxel_map_centroids_numpy(self._vm_state)
+                data, map_points=extract(self._vm_state)
             )
         return data
