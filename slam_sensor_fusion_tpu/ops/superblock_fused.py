@@ -197,21 +197,29 @@ def _make_superblock_kernel(
                         dz = tzc - sz
                         d2 = dx * dx + dy * dy + dz * dz
                         tile_min = jnp.min(d2, axis=0, keepdims=True)
-                        arg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                        rows = jax.lax.broadcasted_iota(
-                            jnp.int32, (tile_tgt, tile_src), 0
+                        # winner extraction via the min-equality mask: one
+                        # (TN,TM) compare + ONE MXU dot yields coords AND
+                        # the tie count (tt extended by a ones row) —
+                        # replaces argmin + iota + onehot (two extra
+                        # full-panel materializations and a reduction).
+                        # Exact within-tile d2 ties average their coords
+                        # instead of taking the first row; everywhere
+                        # else bit-identical (strict-< winner unchanged).
+                        sel = (d2 == tile_min).astype(jnp.float32)
+                        tt4 = jnp.concatenate(
+                            [tt, jnp.ones((1, tile_tgt), jnp.float32)], axis=0
                         )
-                        onehot = (rows == arg).astype(jnp.float32)
                         coords = jax.lax.dot_general(
-                            tt, onehot, (((1,), (0,)), ((), ())),
+                            tt4, sel, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
+                        inv = 1.0 / jnp.maximum(coords[3:4], 1.0)
                         better = tile_min < bmin
                         carry = (
                             jnp.where(better, tile_min, bmin),
-                            jnp.where(better, coords[0:1], bx),
-                            jnp.where(better, coords[1:2], by),
-                            jnp.where(better, coords[2:3], bz),
+                            jnp.where(better, coords[0:1] * inv, bx),
+                            jnp.where(better, coords[1:2] * inv, by),
+                            jnp.where(better, coords[2:3] * inv, bz),
                         )
                     return carry
 
